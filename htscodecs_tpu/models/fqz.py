@@ -1,0 +1,988 @@
+"""fqzcomp quality-score codec (CRAM 3.1).
+
+Bitstream parity with ``/root/reference/htscodecs/fqzcomp_qual.c``
+(FQZ_VERS=5): stream = varint total length, serialised parameter
+block(s), then a range-coded payload driven by adaptive byte models
+over a 16-bit context mixing quality history, position, delta and
+selector sub-contexts.
+
+The parameter auto-picker (strategy presets + entropy-based READ2 /
+quality-average selector tuning) reproduces the reference's float
+accumulation order exactly — the chosen parameters are stored in the
+stream, so encoder equality requires replaying those heuristics
+bit-for-bit.
+
+Throughput note: the per-byte model scan is inherently sequential; the
+TPU engine batches across blocks (see parallel/) rather than splitting
+within one.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops.range_coder import RangeDecoder, RangeEncoder, SimpleModel
+from ..utils import varint
+
+FQZ_VERS = 5
+FQZ_FREVERSE = 16
+FQZ_FREAD2 = 128
+
+GFLAG_MULTI_PARAM = 1
+GFLAG_HAVE_STAB = 2
+GFLAG_DO_REV = 4
+
+PFLAG_DO_DEDUP = 2
+PFLAG_DO_LEN = 4
+PFLAG_DO_SEL = 8
+PFLAG_HAVE_QMAP = 16
+PFLAG_HAVE_PTAB = 32
+PFLAG_HAVE_DTAB = 64
+PFLAG_HAVE_QTAB = 128
+
+CTX_BITS = 16
+CTX_SIZE = 1 << CTX_BITS
+QMAX = 256
+INT_MAX = 2**31 - 1
+
+STRAT_OPTS = [
+    #  qb qs pb  ps db ds ql sl  pl  dl  r2 qa
+    [10, 5, 4, -1, 2, 1, 0, 14, 10, 14, 0, -1],  # basic (level < 7)
+    [8, 5, 7, 0, 0, 0, 0, 14, 8, 14, 1, -1],     # e.g. HiSeq 2000
+    [12, 6, 2, 0, 2, 3, 0, 9, 12, 14, 0, 0],     # e.g. MiSeq
+    [12, 6, 0, 0, 0, 0, 0, 12, 0, 0, 0, 0],      # e.g. IonTorrent
+    [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],        # custom
+]
+NSTRATS = len(STRAT_OPTS)
+
+DSQR = [
+    0, 1, 1, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 5, 5, 5, 5, 5, 5, 5,
+    5, 5, 5, 5, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6,
+    6, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7,
+]
+
+
+@dataclass
+class Param:
+    context: int = 0
+    pflags: int = 0
+    do_sel: int = 0
+    do_dedup: int = 0
+    store_qmap: int = 0
+    fixed_len: int = 0
+    use_qtab: int = 0
+    use_dtab: int = 0
+    use_ptab: int = 0
+    qbits: int = 0
+    qloc: int = 0
+    pbits: int = 0
+    ploc: int = 0
+    dbits: int = 0
+    dloc: int = 0
+    sloc: int = 0
+    max_sym: int = 0
+    nsym: int = 0
+    max_sel: int = 0
+    qmap: list = field(default_factory=lambda: [0] * 256)
+    qtab: list = field(default_factory=lambda: [0] * 256)
+    ptab: list = field(default_factory=lambda: [0] * 1024)
+    dtab: list = field(default_factory=lambda: [0] * 256)
+    qshift: int = 0
+    pshift: int = 0
+    dshift: int = 0
+    qmask: int = 0
+    do_r2: int = 0
+    do_qa: int = 0
+
+
+@dataclass
+class GParams:
+    vers: int = FQZ_VERS
+    gflags: int = 0
+    nparam: int = 1
+    max_sel: int = 0
+    stab: list = field(default_factory=lambda: [0] * 256)
+    max_sym: int = 0
+    p: list = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# Double-RLE array serialisation (store_array/read_array)
+
+def store_array(array, size: int) -> bytes:
+    """Value array -> per-value run lengths -> RLE of those
+    (``fqzcomp_qual.c:106-148``)."""
+    tmp = bytearray()
+    i = 0
+    j = 0
+    while i < size:
+        run_len = i
+        while i < size and array[i] == j:
+            i += 1
+        run_len = i - run_len
+        while True:
+            r = min(255, run_len)
+            tmp.append(r)
+            run_len -= r
+            if r != 255:
+                break
+        j += 1
+
+    out = bytearray()
+    last = -1
+    jj = 0
+    k = len(tmp)
+    while jj < k:
+        v = tmp[jj]
+        jj += 1
+        out.append(v)
+        if v == last:
+            n = jj
+            while jj < k and tmp[jj] == last:
+                jj += 1
+            out.append(jj - n)
+        else:
+            last = v
+    return bytes(out)
+
+
+def read_array(buf, pos: int, end: int, size: int):
+    """Inverse of store_array.  Returns (array list, new pos) or
+    (None, pos) on error (``fqzcomp_qual.c:150-194``)."""
+    size = min(1024, size)
+    R = []
+    z = 0
+    last = -1
+    i = pos
+    while z < size and i < end:
+        run = buf[i]
+        R.append(run)
+        z += run
+        if run == last:
+            i += 1
+            if i >= end:
+                return None, pos
+            copy = buf[i]
+            z += run * copy
+            while copy and z < size and len(R) < 1024:
+                R.append(run)
+                copy -= 1
+        if len(R) >= 1024:
+            return None, pos
+        last = run
+        i += 1
+    nb = i - pos
+
+    array = [0] * size
+    r_max = len(R)
+    zz = 0
+    j = 0
+    val = 0
+    while j < size:
+        run_len = 0
+        if zz >= r_max:
+            return None, pos
+        while True:
+            part = R[zz]
+            zz += 1
+            run_len += part
+            if not (part == 255 and zz < r_max):
+                break
+        if part == 255:
+            return None, pos
+        while run_len and j < size:
+            run_len -= 1
+            array[j] = val
+            j += 1
+        val += 1
+    return array, pos + nb
+
+
+# ---------------------------------------------------------------------------
+# Statistics pass (fqz_qual_stats)
+
+def qual_stats(lens, flags, data: np.ndarray, pm: Param, qhist, one_param: int):
+    """Histogram/dedup/selector analysis (``fqzcomp_qual.c:418-693``).
+
+    ``flags`` is mutated in place (selector bits packed into bits 16+),
+    matching the reference's in-place behaviour.
+    """
+    NP = 128
+    in_size = len(data)
+    num_records = len(lens)
+
+    qhistb = np.zeros((NP, 256), dtype=np.int64)
+    qhist1 = np.zeros((NP, 256), dtype=np.int64)
+    qhist2 = np.zeros((NP, 256), dtype=np.int64)
+    t1 = np.zeros(NP, dtype=np.int64)
+    t2 = np.zeros(NP, dtype=np.int64)
+    avg = np.zeros(2560, dtype=np.int64)
+
+    max_sel = 0
+    has_r2 = 0
+    num_rec = 0
+    for rec in range(num_records):
+        if one_param >= 0 and (flags[rec] >> 16) != one_param:
+            continue
+        num_rec += 1
+        if max_sel < (flags[rec] >> 16):
+            max_sel = flags[rec] >> 16
+        if flags[rec] & FQZ_FREAD2:
+            has_r2 = 1
+
+    avg_qual = [0] * (num_records + 1)
+    do_dedup = 0
+    last_len = 0
+    rec = 0
+    i = 0
+    while i < in_size:
+        if one_param >= 0 and rec < num_records and (flags[rec] >> 16) != one_param:
+            avg_qual[rec] = 0
+            i += lens[rec]
+            rec += 1
+            continue
+        if rec < num_records:
+            j = lens[rec]
+            dir2 = 1 if flags[rec] & FQZ_FREAD2 else 0
+            if i > 0 and j == last_len and \
+                    data[i - last_len:i].tobytes() == data[i:i + j].tobytes():
+                do_dedup += 1
+        else:
+            j = in_size - i
+            dir2 = 0
+        last_len = j
+
+        seg = data[i:i + j]
+        n = len(seg)
+        tot = int(seg.sum())
+        # Position histograms are indexed by bytes-remaining & 127.
+        pos_idx = (j - np.arange(n, dtype=np.int64)) & (NP - 1)
+        np.add.at(qhist, seg, 1)
+        np.add.at(qhistb, (pos_idx, seg), 1)
+        if dir2:
+            np.add.at(qhist2, (pos_idx, seg), 1)
+            np.add.at(t2, pos_idx, 1)
+        else:
+            np.add.at(qhist1, (pos_idx, seg), 1)
+            np.add.at(t1, pos_idx, 1)
+        i += n
+
+        tot = int((tot * 10.0) / last_len + 0.5) if last_len else 0
+        if rec < len(avg_qual):
+            avg_qual[rec] = tot
+        avg[min(2559, tot)] += 1
+        rec += 1
+
+    pm.do_dedup = 1 if (rec + 1) // (do_dedup + 1) < 500 else 0
+
+    pm.max_sym = 0
+    pm.nsym = 0
+    for s in range(256):
+        if qhist[s]:
+            pm.max_sym = s
+            pm.nsym += 1
+
+    # Auto tune: average-quality selector
+    if pm.do_qa != 0:
+        qf0 = 0.2 if pm.nsym > 8 else 0.05
+        qf1 = 0.5 if pm.nsym > 8 else 0.22
+        qf2 = 0.8 if pm.nsym > 8 else 0.60
+
+        total = 0
+        i = 0
+        while i < 2560:
+            total += int(avg[i])
+            if total > qf0 * num_rec:
+                break
+            avg[i] = 0
+            i += 1
+        while i < 2560:
+            total += int(avg[i])
+            if total > qf1 * num_rec:
+                break
+            avg[i] = 1
+            i += 1
+        while i < 2560:
+            total += int(avg[i])
+            if total > qf2 * num_rec:
+                break
+            avg[i] = 2
+            i += 1
+        while i < 2560:
+            avg[i] = 3
+            i += 1
+
+        qbin4 = np.zeros((4, NP, 256), dtype=np.int64)
+        qbin2 = np.zeros((2, NP, 256), dtype=np.int64)
+        qbin1 = np.zeros((NP, 256), dtype=np.int64)
+        qcnt4 = np.zeros((4, NP), dtype=np.int64)
+        qcnt2 = np.zeros((2, NP), dtype=np.int64)
+        qcnt1 = np.zeros(NP, dtype=np.int64)
+
+        i = 0
+        rec = 0
+        while i < in_size:
+            if one_param >= 0 and rec < num_records and (flags[rec] >> 16) != one_param:
+                i += lens[rec]
+                rec += 1
+                continue
+            j = lens[rec] if rec < num_records else in_size - i
+            tot = avg_qual[rec] if rec < len(avg_qual) else 0
+            qb4 = int(avg[min(2559, tot)])
+            qb2 = qb4 // 2
+            seg = data[i:i + j]
+            n = len(seg)
+            pos_idx = (j - np.arange(n, dtype=np.int64)) & (NP - 1)
+            np.add.at(qbin4[qb4], (pos_idx, seg), 1)
+            np.add.at(qcnt4[qb4], pos_idx, 1)
+            np.add.at(qbin2[qb2], (pos_idx, seg), 1)
+            np.add.at(qcnt2[qb2], pos_idx, 1)
+            np.add.at(qbin1, (pos_idx, seg), 1)
+            np.add.at(qcnt1, pos_idx, 1)
+            i += n
+            rec += 1
+
+        e1 = e2 = e4 = 0.0
+        for j in range(NP):
+            for s in range(256):
+                if qbin1[j][s]:
+                    e1 += qbin1[j][s] * math.log(qbin1[j][s] / float(qcnt1[j]))
+                if qbin2[0][j][s]:
+                    e2 += qbin2[0][j][s] * math.log(qbin2[0][j][s] / float(qcnt2[0][j]))
+                if qbin2[1][j][s]:
+                    e2 += qbin2[1][j][s] * math.log(qbin2[1][j][s] / float(qcnt2[1][j]))
+                for b in range(4):
+                    if qbin4[b][j][s]:
+                        e4 += qbin4[b][j][s] * math.log(qbin4[b][j][s] / float(qcnt4[b][j]))
+        e1 /= -math.log(2) / 8
+        e2 /= -math.log(2) / 8
+        e4 /= -math.log(2) / 8
+
+        qm = 1 if pm.do_qa > 0 else 0.98
+        if (pm.do_qa == -1 or pm.do_qa >= 4) and \
+                e4 + num_records // 4 < e2 * qm + num_records // 8 and \
+                e4 + num_records // 4 < e1 * qm:
+            for r in range(num_records):
+                flags[r] |= int(avg[min(2559, avg_qual[r])]) << 16
+            pm.do_sel = 1
+            max_sel = 3
+        elif (pm.do_qa == -1 or pm.do_qa >= 2) and e2 + num_records // 8 < e1 * qm:
+            for r in range(num_records):
+                flags[r] |= (int(avg[min(2559, avg_qual[r])]) >> 1) << 16
+            pm.do_sel = 1
+            max_sel = 1
+
+        if pm.do_qa == -1:
+            if pm.pbits > 0 and pm.dbits > 0:
+                pm.sloc = pm.dloc - 1
+                pm.pbits -= 1
+                pm.dbits -= 1
+                pm.dloc += 1
+            elif pm.dbits >= 2:
+                pm.sloc = pm.dloc
+                pm.dbits -= 2
+                pm.dloc += 2
+            elif pm.qbits >= 2:
+                pm.qbits -= 2
+                pm.ploc -= 2
+                pm.sloc = 16 - 2 - pm.do_r2
+                if pm.qbits == 6 and pm.qshift == 5:
+                    pm.qbits -= 1
+            pm.do_qa = 4
+
+    # Auto tune: READ1 vs READ2 split
+    if has_r2 or pm.do_r2:
+        e1 = e2 = 0.0
+        for j in range(NP):
+            if not t1[j] or not t2[j]:
+                continue
+            for s in range(256):
+                if not qhistb[j][s]:
+                    continue
+                e1 -= qhistb[j][s] * math.log(qhistb[j][s] / float(t1[j] + t2[j]))
+                if qhist1[j][s]:
+                    e2 -= qhist1[j][s] * math.log(qhist1[j][s] / float(t1[j]))
+                if qhist2[j][s]:
+                    e2 -= qhist2[j][s] * math.log(qhist2[j][s] / float(t2[j]))
+        e1 /= math.log(2) * 8
+        e2 /= math.log(2) * 8
+
+        qm = 1 if pm.do_r2 > 0 else 0.95
+        if e2 + (8 + num_records // 8) < e1 * qm:
+            for rec in range(num_records):
+                if one_param >= 0 and (flags[rec] >> 16) != one_param:
+                    continue
+                sel = flags[rec] >> 16
+                flags[rec] = (flags[rec] & 0xFFFF) | (
+                    ((sel * 2) + 1) << 16 if flags[rec] & FQZ_FREAD2 else ((sel * 2) + 0) << 16
+                )
+                if max_sel < (flags[rec] >> 16):
+                    max_sel = flags[rec] >> 16
+
+    if max_sel > 0:
+        pm.do_sel = 1
+        pm.max_sel = max_sel
+
+
+# ---------------------------------------------------------------------------
+# Parameter pick / store / read
+
+def pick_parameters(vers: int, strat: int, lens, flags, data: np.ndarray) -> GParams:
+    qhist = [0] * 256
+    if strat >= NSTRATS:
+        strat = NSTRATS - 1
+
+    gp = GParams()
+    gp.p = [Param()]
+    gp.nparam = 1
+    gp.max_sel = 0
+    if vers == 3:
+        gp.gflags |= GFLAG_DO_REV
+
+    pm = gp.p[0]
+    (pm.qbits, pm.qshift, pm.pbits, pm.pshift, pm.dbits, pm.dshift,
+     pm.qloc, pm.sloc, pm.ploc, pm.dloc, pm.do_r2, pm.do_qa) = STRAT_OPTS[strat]
+
+    in_size = len(data)
+    # Validity-check input lengths against the buffer.
+    tlen = 0
+    for i in range(len(lens)):
+        if tlen + lens[i] > in_size:
+            lens[i] = in_size - tlen
+        tlen += lens[i]
+    if len(lens) > 0 and tlen < in_size:
+        lens[-1] += in_size - tlen
+
+    qhist_np = np.zeros(256, dtype=np.int64)
+    qual_stats(lens, flags, data, pm, qhist_np, -1)
+    qhist = qhist_np
+
+    pm.store_qmap = 1 if (pm.nsym <= 8 and pm.nsym * 2 < pm.max_sym) else 0
+
+    first_len = lens[0] if len(lens) else 0
+    fixed = all(l == first_len for l in lens)
+    pm.fixed_len = 1 if fixed else 0
+    pm.use_qtab = 0
+
+    if strat < NSTRATS - 1:
+        if pm.pshift < 0:
+            pm.pshift = max(0, int(math.log(float(lens[0]) / (1 << pm.pbits)) / math.log(2) + 0.5))
+        if pm.nsym <= 4:
+            pm.qshift = 2
+            if in_size < 5000000:
+                pm.pbits = 2
+                pm.pshift = 5
+        elif pm.nsym <= 8:
+            pm.qbits = min(pm.qbits, 9)
+            pm.qshift = 3
+            if in_size < 5000000:
+                pm.qbits = 6
+        if in_size < 300000:
+            pm.qbits = pm.qshift
+            pm.dbits = 2
+
+    _finish_param(pm, qhist, gp)
+
+    gp.max_sel = 0
+    if pm.do_sel:
+        gp.max_sel = 1
+        gp.gflags |= GFLAG_HAVE_STAB
+    if gp.max_sel:
+        mx = 0
+        for f in flags:
+            if mx < (f >> 16):
+                mx = f >> 16
+        gp.max_sel = mx
+
+    return gp
+
+
+def _finish_param(pm: Param, qhist, gp: GParams) -> None:
+    """Shared tail of parameter derivation: dsqr clamping, qmap/qtab/
+    ptab/dtab table production, pflags assembly."""
+    dsqr = list(DSQR)
+    for i in range(len(dsqr)):
+        if dsqr[i] > (1 << pm.dbits) - 1:
+            dsqr[i] = (1 << pm.dbits) - 1
+
+    if pm.store_qmap:
+        j = 0
+        for i in range(256):
+            if qhist[i]:
+                pm.qmap[i] = j
+                j += 1
+            else:
+                pm.qmap[i] = INT_MAX
+        pm.max_sym = pm.nsym
+    else:
+        pm.nsym = 255
+        for i in range(256):
+            pm.qmap[i] = i
+    if gp.max_sym < pm.max_sym:
+        gp.max_sym = pm.max_sym
+
+    if pm.qbits:
+        for i in range(256):
+            pm.qtab[i] = i
+    pm.qmask = (1 << pm.qbits) - 1
+
+    if pm.pbits:
+        for i in range(1024):
+            pm.ptab[i] = min((1 << pm.pbits) - 1, i >> pm.pshift)
+
+    if pm.dbits:
+        for i in range(256):
+            pm.dtab[i] = dsqr[min(len(dsqr) - 1, i >> pm.dshift)]
+
+    pm.use_ptab = 1 if pm.pbits > 0 else 0
+    pm.use_dtab = 1 if pm.dbits > 0 else 0
+
+    pm.pflags = (
+        (PFLAG_HAVE_QTAB if pm.use_qtab else 0)
+        | (PFLAG_HAVE_DTAB if pm.use_dtab else 0)
+        | (PFLAG_HAVE_PTAB if pm.use_ptab else 0)
+        | (PFLAG_DO_SEL if pm.do_sel else 0)
+        | (PFLAG_DO_LEN if pm.fixed_len else 0)
+        | (PFLAG_DO_DEDUP if pm.do_dedup else 0)
+        | (PFLAG_HAVE_QMAP if pm.store_qmap else 0)
+    )
+
+
+def manual_parameters(hex_params: list[int], lens, flags, data: np.ndarray) -> GParams:
+    """Equivalent of the test tool's -x option
+    (``tests/fqzcomp_qual_test.c:88-228``): 12-nibble parameter words,
+    multi-param capable."""
+    gp = GParams()
+    gp.nparam = len(hex_params)
+    gp.gflags = GFLAG_MULTI_PARAM | GFLAG_HAVE_STAB
+    gp.stab = [0] * 256
+    gp.max_sel = 0
+    gp.max_sym = 0
+    gp.p = []
+
+    for p, st in enumerate(hex_params):
+        pm = Param()
+        pm.do_qa = st & 15; st >>= 4
+        pm.do_r2 = st & 15; st >>= 4
+        pm.dloc = st & 15; st >>= 4
+        pm.ploc = st & 15; st >>= 4
+        pm.sloc = st & 15; st >>= 4
+        pm.qloc = st & 15; st >>= 4
+        pm.dshift = st & 15; st >>= 4
+        pm.dbits = st & 15; st >>= 4
+        pm.pshift = st & 15; st >>= 4
+        pm.pbits = st & 15; st >>= 4
+        pm.qshift = st & 15; st >>= 4
+        pm.qbits = st & 15; st >>= 4
+
+        qhist = np.zeros(256, dtype=np.int64)
+        qual_stats(lens, flags, data, pm, qhist, p)
+        max_sel = pm.max_sel
+
+        for i in range(gp.max_sel, gp.max_sel + max_sel + 1):
+            gp.stab[i] = p
+        gp.max_sel += max_sel + 1
+
+        pm.fixed_len = 1 if pm.fixed_len > 0 else 0
+        pm.use_qtab = 0
+        pm.store_qmap = 1 if pm.nsym <= 8 else 0
+
+        _finish_param(pm, qhist, gp)
+        gp.p.append(pm)
+
+    for i in range(gp.max_sel, 256):
+        gp.stab[i] = gp.stab[gp.max_sel - 1]
+    return gp
+
+
+def store_parameters(gp: GParams) -> bytes:
+    out = bytearray()
+    out.append(gp.vers)
+    out.append(gp.gflags)
+    if gp.gflags & GFLAG_MULTI_PARAM:
+        out.append(gp.nparam)
+    if gp.gflags & GFLAG_HAVE_STAB:
+        out.append(gp.max_sel)
+        out += store_array(gp.stab, 256)
+    for pm in gp.p:
+        out.append(pm.context & 0xFF)
+        out.append((pm.context >> 8) & 0xFF)
+        out.append(pm.pflags & 0xFF)
+        out.append(pm.max_sym & 0xFF)
+        out.append(((pm.qbits << 4) | pm.qshift) & 0xFF)
+        out.append(((pm.qloc << 4) | pm.sloc) & 0xFF)
+        out.append(((pm.ploc << 4) | pm.dloc) & 0xFF)
+        if pm.store_qmap:
+            for i in range(256):
+                if pm.qmap[i] != INT_MAX:
+                    out.append(i)
+        if pm.qbits and pm.use_qtab:
+            out += store_array(pm.qtab, 256)
+        if pm.pbits and pm.use_ptab:
+            out += store_array(pm.ptab, 1024)
+        if pm.dbits and pm.use_dtab:
+            out += store_array(pm.dtab, 256)
+    return bytes(out)
+
+
+def read_parameters(buf, pos: int, end: int) -> tuple[GParams | None, int]:
+    if end - pos < 10:
+        return None, pos
+    gp = GParams()
+    gp.vers = buf[pos]; pos += 1
+    if gp.vers != FQZ_VERS:
+        return None, pos
+    gp.gflags = buf[pos]; pos += 1
+    if gp.gflags & GFLAG_MULTI_PARAM:
+        gp.nparam = buf[pos]; pos += 1
+    else:
+        gp.nparam = 1
+    if gp.nparam <= 0:
+        return None, pos
+    gp.max_sel = gp.nparam if gp.nparam > 1 else 0
+    if gp.gflags & GFLAG_HAVE_STAB:
+        gp.max_sel = buf[pos]; pos += 1
+        arr, pos = read_array(buf, pos, end, 256)
+        if arr is None:
+            return None, pos
+        gp.stab = arr
+    else:
+        gp.stab = [min(i, gp.nparam - 1) for i in range(256)]
+
+    gp.max_sym = 0
+    gp.p = []
+    for _ in range(gp.nparam):
+        pm, pos = _read_param1(buf, pos, end)
+        if pm is None:
+            return None, pos
+        gp.p.append(pm)
+        if gp.max_sym < pm.max_sym:
+            gp.max_sym = pm.max_sym
+    return gp, pos
+
+
+def _read_param1(buf, pos: int, end: int) -> tuple[Param | None, int]:
+    if end - pos < 7:
+        return None, pos
+    pm = Param()
+    pm.context = buf[pos] | (buf[pos + 1] << 8); pos += 2
+    pm.pflags = buf[pos]; pos += 1
+    pm.use_qtab = pm.pflags & PFLAG_HAVE_QTAB
+    pm.use_dtab = pm.pflags & PFLAG_HAVE_DTAB
+    pm.use_ptab = pm.pflags & PFLAG_HAVE_PTAB
+    pm.do_sel = pm.pflags & PFLAG_DO_SEL
+    pm.fixed_len = pm.pflags & PFLAG_DO_LEN
+    pm.do_dedup = pm.pflags & PFLAG_DO_DEDUP
+    pm.store_qmap = pm.pflags & PFLAG_HAVE_QMAP
+    pm.max_sym = buf[pos]; pos += 1
+    pm.qbits = buf[pos] >> 4
+    pm.qmask = (1 << pm.qbits) - 1
+    pm.qshift = buf[pos] & 15; pos += 1
+    pm.qloc = buf[pos] >> 4
+    pm.sloc = buf[pos] & 15; pos += 1
+    pm.ploc = buf[pos] >> 4
+    pm.dloc = buf[pos] & 15; pos += 1
+
+    if pm.store_qmap:
+        pm.qmap = [INT_MAX] * 256
+        if pos + pm.max_sym > end:
+            return None, pos
+        for i in range(pm.max_sym):
+            pm.qmap[i] = buf[pos]; pos += 1
+    else:
+        pm.qmap = list(range(256))
+
+    if pm.qbits:
+        if pm.use_qtab:
+            arr, pos = read_array(buf, pos, end, 256)
+            if arr is None:
+                return None, pos
+            pm.qtab = arr
+        else:
+            pm.qtab = list(range(256))
+
+    if pm.use_ptab:
+        arr, pos = read_array(buf, pos, end, 1024)
+        if arr is None:
+            return None, pos
+        pm.ptab = arr
+    else:
+        pm.ptab = [0] * 1024
+
+    if pm.use_dtab:
+        arr, pos = read_array(buf, pos, end, 256)
+        if arr is None:
+            return None, pos
+        pm.dtab = arr
+    else:
+        pm.dtab = [0] * 256
+
+    return pm, pos
+
+
+# ---------------------------------------------------------------------------
+# Models and the per-byte scan
+
+class _Models:
+    """Lazy per-context quality models (65536 contexts, instantiated on
+    first touch — identical behaviour, far less memory)."""
+
+    def __init__(self, gp: GParams):
+        self._max_sym = gp.max_sym + 1
+        self._qual: dict[int, SimpleModel] = {}
+        self.len = [SimpleModel(256, 256) for _ in range(4)]
+        self.revcomp = SimpleModel(2, 2)
+        self.dup = SimpleModel(2, 2)
+        self.sel = SimpleModel(256, gp.max_sel + 1) if gp.max_sel > 0 else None
+
+    def qual(self, ctx: int) -> SimpleModel:
+        m = self._qual.get(ctx)
+        if m is None:
+            m = SimpleModel(QMAX, self._max_sym)
+            self._qual[ctx] = m
+        return m
+
+
+def _update_ctx(pm: Param, state: dict, q: int) -> int:
+    last = 0
+    state["qctx"] = ((state["qctx"] << pm.qshift) + pm.qtab[q]) & 0xFFFFFFFF
+    last += (state["qctx"] & pm.qmask) << pm.qloc
+    last += pm.ptab[min(1023, state["p"])]
+    last += pm.dtab[min(255, state["delta"])]
+    last += state["s"] << pm.sloc
+    state["delta"] += 1 if state["prevq"] != q else 0
+    state["prevq"] = q
+    state["p"] -= 1
+    return last & (CTX_SIZE - 1)
+
+
+def compress(data, lens, flags=None, vers: int = 4, strat: int = 0,
+             gp: GParams | None = None) -> bytes:
+    """Compress concatenated quality strings.
+
+    ``lens``: per-record lengths; ``flags``: per-record BAM-style flags
+    (FQZ_FREVERSE=16, FQZ_FREAD2=128, selector in bits 16+).
+    """
+    data = np.frombuffer(bytes(data), dtype=np.uint8).copy() if not isinstance(data, np.ndarray) else data.copy()
+    in_size = len(data)
+    caller_flags = flags if isinstance(flags, list) else None
+    lens = list(lens)
+    flags = list(flags) if flags is not None else [0] * len(lens)
+
+    if gp is None:
+        gp = pick_parameters(vers, strat, lens, flags, data)
+
+    out = bytearray()
+    varint.put_uint(out, in_size)
+    out += store_parameters(gp)
+
+    # Pre-shift tables (the stored copies keep original values).
+    shifted = []
+    for pm in gp.p:
+        ptab = [v << pm.ploc for v in pm.ptab]
+        dtab = [v << pm.dloc for v in pm.dtab]
+        shifted.append((ptab, dtab))
+
+    model = _Models(gp)
+    rc = RangeEncoder()
+
+    if gp.gflags & GFLAG_DO_REV:
+        i = 0
+        rec = 0
+        while i < in_size:
+            ln = lens[rec] if rec < len(lens) - 1 else in_size - i
+            if flags[rec] & FQZ_FREVERSE:
+                data[i:i + ln] = data[i:i + ln][::-1]
+            i += ln
+            rec += 1
+
+    state = {"qctx": 0, "p": 0, "delta": 0, "prevq": 0, "s": 0}
+    first_len = 1
+    last = 0
+    last_len = 0
+    rec = 0
+    pm = gp.p[0]
+    ptab, dtab = shifted[0]
+    dlist = data.tolist()
+    num_records = len(lens)
+
+    i = 0
+    while i < in_size:
+        if state["p"] == 0:
+            if pm.do_sel or (gp.gflags & GFLAG_MULTI_PARAM):
+                state["s"] = (flags[rec] >> 16) if rec < num_records else 0
+                model.sel.encode(rc, state["s"])
+            else:
+                state["s"] = 0
+            x = gp.stab[state["s"]] if (gp.gflags & GFLAG_HAVE_STAB) else state["s"]
+            pm = gp.p[x]
+            ptab, dtab = shifted[x]
+
+            ln = lens[rec]
+            if not pm.fixed_len or first_len:
+                model.len[0].encode(rc, ln & 0xFF)
+                model.len[1].encode(rc, (ln >> 8) & 0xFF)
+                model.len[2].encode(rc, (ln >> 16) & 0xFF)
+                model.len[3].encode(rc, (ln >> 24) & 0xFF)
+                first_len = 0
+
+            if gp.gflags & GFLAG_DO_REV:
+                model.revcomp.encode(rc, 1 if flags[rec] & FQZ_FREVERSE else 0)
+
+            rec += 1
+            state["p"] = ln
+            state["delta"] = 0
+            state["qctx"] = 0
+            state["prevq"] = 0
+            last = pm.context
+
+            if pm.do_dedup:
+                if i and ln == last_len and dlist[i - last_len:i] == dlist[i:i + ln]:
+                    model.dup.encode(rc, 1)
+                    i += ln
+                    state["p"] = 0
+                    continue
+                model.dup.encode(rc, 0)
+                last_len = ln
+
+        q = dlist[i]
+        qm = pm.qmap[q]
+        model.qual(last).encode(rc, qm)
+        # inline _update_ctx with pre-shifted tables
+        state["qctx"] = (state["qctx"] << pm.qshift) + pm.qtab[qm]
+        last = (((state["qctx"] & pm.qmask) << pm.qloc)
+                + ptab[min(1023, state["p"])]
+                + dtab[min(255, state["delta"])]
+                + (state["s"] << pm.sloc)) & (CTX_SIZE - 1)
+        if state["prevq"] != qm:
+            state["delta"] += 1
+        state["prevq"] = qm
+        state["p"] -= 1
+        i += 1
+
+    # The reference strips the selector abuse of the caller's flags
+    # after compression (fqzcomp_qual.c:1142-1144); mirror that so a
+    # slice can be reused (e.g. repeated manual_parameters calls).
+    if caller_flags is not None:
+        for r in range(len(caller_flags)):
+            caller_flags[r] &= 0xFFFF
+
+    return bytes(out) + rc.finish()
+
+
+def decompress(buf, with_lengths: bool = False):
+    """Decompress an fqz stream.  Returns bytes, or (bytes, lengths)
+    when ``with_lengths``."""
+    buf = memoryview(bytes(buf))
+    end = len(buf)
+    total, pos = varint.get_uint(buf, 0, end)
+    gp, pos = read_parameters(buf, pos, end)
+    if gp is None:
+        raise ValueError("corrupt fqz stream")
+
+    shifted = []
+    for pm in gp.p:
+        ptab = [v << pm.ploc for v in pm.ptab]
+        dtab = [v << pm.dloc for v in pm.dtab]
+        shifted.append((ptab, dtab))
+
+    model = _Models(gp)
+    rc = RangeDecoder(buf, pos, end)
+
+    out = np.zeros(total, dtype=np.uint8)
+    out_list = [0] * total
+    state = {"qctx": 0, "p": 0, "delta": 0, "prevq": 0, "s": 0}
+    first_len = 1
+    rev_a = []
+    len_a = []
+    rev = 0
+    last_len = 0
+    last = 0
+    lengths = []
+    pm = gp.p[0]
+    ptab, dtab = shifted[0]
+    x = 0
+
+    i = 0
+    rec = 0
+    ln = 0
+    while i < total:
+        if state["p"] == 0:
+            if pm.do_sel:
+                if model.sel is None:
+                    raise ValueError("corrupt fqz stream (sel without stab)")
+                state["s"] = model.sel.decode(rc)
+            else:
+                state["s"] = 0
+            x = gp.stab[min(255, state["s"])] if (gp.gflags & GFLAG_HAVE_STAB) else state["s"]
+            if x >= gp.nparam:
+                raise ValueError("corrupt fqz stream (bad selector)")
+            pm = gp.p[x]
+            ptab, dtab = shifted[x]
+
+            ln = last_len
+            if not pm.fixed_len or first_len:
+                ln = model.len[0].decode(rc)
+                ln |= model.len[1].decode(rc) << 8
+                ln |= model.len[2].decode(rc) << 16
+                ln |= model.len[3].decode(rc) << 24
+                first_len = 0
+                last_len = ln
+            if ln > total - i or ln <= 0:
+                raise ValueError("corrupt fqz stream (bad length)")
+            lengths.append(ln)
+
+            if gp.gflags & GFLAG_DO_REV:
+                rev = model.revcomp.decode(rc)
+                rev_a.append(rev)
+                len_a.append(ln)
+
+            if pm.do_dedup:
+                if model.dup.decode(rc):
+                    if ln > i:
+                        raise ValueError("corrupt fqz stream (bad dup)")
+                    out_list[i:i + ln] = out_list[i - ln:i]
+                    i += ln
+                    state["p"] = 0
+                    rec += 1
+                    continue
+
+            rec += 1
+            state["p"] = ln
+            state["delta"] = 0
+            state["prevq"] = 0
+            state["qctx"] = 0
+            last = pm.context
+
+        Q = model.qual(last).decode(rc)
+        out_list[i] = pm.qmap[Q] & 0xFF
+        state["qctx"] = (state["qctx"] << pm.qshift) + pm.qtab[Q]
+        last = (((state["qctx"] & pm.qmask) << pm.qloc)
+                + ptab[min(1023, state["p"])]
+                + dtab[min(255, state["delta"])]
+                + (state["s"] << pm.sloc)) & (CTX_SIZE - 1)
+        if state["prevq"] != Q:
+            state["delta"] += 1
+        state["prevq"] = Q
+        state["p"] -= 1
+        i += 1
+
+    out = np.array(out_list, dtype=np.uint8)
+
+    if gp.gflags & GFLAG_DO_REV:
+        i = 0
+        r = 0
+        while i < total and r < len(len_a):
+            if rev_a[r]:
+                out[i:i + len_a[r]] = out[i:i + len_a[r]][::-1]
+            i += len_a[r]
+            r += 1
+
+    data = out.tobytes()
+    if with_lengths:
+        return data, lengths
+    return data

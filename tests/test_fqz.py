@@ -1,0 +1,123 @@
+"""Conformance tests for fqzcomp_qual (fqzcomp.test parity)."""
+
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+from htscodecs_tpu.models import fqz
+
+
+def parse_lines(raw: bytes):
+    """QUAL [is_read2 [selector]] per line, ASCII-33 shifted — the
+    reference test tool's input format."""
+    lens, flags, qual = [], [], bytearray()
+    for line in raw.split(b"\n"):
+        if not line:
+            continue
+        parts = line.replace(b"\t", b" ").split(b" ")
+        q = parts[0]
+        lens.append(len(q))
+        r2 = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+        sel = int(parts[2]) if len(parts) > 2 and parts[2] else 0
+        flags.append(r2 * fqz.FQZ_FREAD2 | (sel << 16))
+        qual += bytes(b - 33 for b in q)
+    return bytes(qual), lens, flags
+
+
+@pytest.fixture(scope="module")
+def parsed(dat_dir):
+    out = {}
+    for f in sorted(dat_dir.glob("q*")):
+        if f.is_file():
+            out[f.name] = parse_lines(f.read_bytes())
+    return out
+
+
+@pytest.mark.parametrize("strat", [0, 1, 2, 3])
+def test_golden_fixtures(parsed, dat_dir, strat):
+    for name, (data, lens, flags) in parsed.items():
+        golden = dat_dir / "fqzcomp" / f"{name}.{strat}"
+        if not golden.exists():
+            continue
+        ref = golden.read_bytes()
+        mine = fqz.compress(data, list(lens), list(flags), vers=4, strat=strat)
+        assert mine == ref, f"encode mismatch: {name} strat {strat}"
+        assert fqz.decompress(ref) == data, f"decode mismatch: {name}"
+
+
+def test_manual_parameters_oracle(parsed, ref_tools):
+    """The -x manual 12-nibble parameter path, multi-param capable."""
+    import shutil
+    for name, xs in (
+        ("q40+dir", [0x5570000D6E14]),
+        ("q4", [0x8252120E8D04]),
+        ("q4", [0x8252120E8D04, 0x5570000D6E14]),  # multi-param
+    ):
+        data, lens, flags = parsed[name]
+        lens, flags = list(lens), list(flags)
+        args = [str(ref_tools / "fqzcomp_qual_test"), "-r"]
+        for x in xs:
+            args += ["-x", hex(x)]
+        args.append("/root/reference/tests/dat/" + name)
+        r = subprocess.run(args, capture_output=True)
+        assert r.returncode == 0
+        ref = r.stdout
+        gp = fqz.manual_parameters(xs, lens, flags, np.frombuffer(data, np.uint8).copy())
+        mine = fqz.compress(data, lens, flags, vers=4, strat=0, gp=gp)
+        assert mine == ref, f"manual {name} {list(map(hex, xs))}"
+        assert fqz.decompress(mine) == data
+
+
+def test_lengths_output(parsed):
+    data, lens, flags = parsed["qvar"]
+    blob = fqz.compress(data, list(lens), list(flags), vers=4, strat=0)
+    out, got_lens = fqz.decompress(blob, with_lengths=True)
+    assert out == data
+    assert got_lens == lens
+
+
+def test_vers3_do_rev_round_trip():
+    """CRAM 3.1 (vers=3) sets GFLAG_DO_REV: flagged records stored
+    reversed and re-reversed on decode."""
+    rng = np.random.default_rng(31)
+    lens = [50, 60, 70, 50]
+    flags = [0, fqz.FQZ_FREVERSE, 0, fqz.FQZ_FREVERSE]
+    data = bytes(rng.integers(0, 40, sum(lens), dtype=np.uint8))
+    blob = fqz.compress(data, list(lens), list(flags), vers=3, strat=0)
+    assert fqz.decompress(blob) == data
+
+
+def test_oracle_random_inputs(ref_tools):
+    rng = np.random.default_rng(77)
+    for trial in range(4):
+        nrec = int(rng.integers(3, 30))
+        lines = []
+        for _ in range(nrec):
+            ln = int(rng.integers(5, 120))
+            q = bytes(rng.integers(0, 40, ln, dtype=np.uint8) + 33)
+            r2 = int(rng.integers(0, 2))
+            lines.append(q + f" {r2}".encode())
+        raw = b"\n".join(lines) + b"\n"
+        data, lens, flags = parse_lines(raw)
+        with tempfile.TemporaryDirectory() as td:
+            fi = os.path.join(td, "i")
+            open(fi, "wb").write(raw)
+            for strat in (0, 1, 2, 3):
+                r = subprocess.run(
+                    [str(ref_tools / "fqzcomp_qual_test"), "-r", "-s", str(strat), fi],
+                    capture_output=True,
+                )
+                assert r.returncode == 0
+                ref = r.stdout
+                mine = fqz.compress(data, list(lens), list(flags), vers=4, strat=strat)
+                assert mine == ref, f"trial {trial} strat {strat}"
+                assert fqz.decompress(mine) == data
+
+
+def test_malformed_rejected():
+    for blob in (b"", b"\x05\x01\x00", bytes(12)):
+        with pytest.raises(ValueError):
+            fqz.decompress(blob)
