@@ -20,7 +20,7 @@ meshes via ``htscodecs_tpu.parallel``.
 """
 
 from . import utils  # noqa: F401
-from .models import rans4x16  # noqa: F401
+from .models import arith, fqz, rans4x8, rans4x16, tok3  # noqa: F401
 
 __version__ = "0.1.0"
 

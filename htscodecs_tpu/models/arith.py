@@ -299,10 +299,14 @@ def _uncompress_into(buf, out_size: int | None):
                 return None
         if pos + clen_tot > in_size:
             return None
+        # Each lane decodes against the rest of the stripe container, as
+        # the reference does — short range-coder streams rely on the
+        # trailing slack to pass RC_StartDecode's 5-byte priming check.
+        stripe_end = pos + clen_tot
         ulens = [ulen // N + (1 if (ulen % N) > i else 0) for i in range(N)]
         out = np.zeros(ulen, dtype=np.uint8)
         for i in range(N):
-            lane = _uncompress_into(buf[pos:pos + clens[i]], ulens[i])
+            lane = _uncompress_into(buf[pos:stripe_end], ulens[i])
             if lane is None or len(lane) != ulens[i]:
                 return None
             out[i::N] = lane

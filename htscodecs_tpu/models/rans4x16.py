@@ -365,10 +365,13 @@ def _uncompress_into(buf, out_size: int | None) -> np.ndarray | None:
                 return None
         if pos + clen_tot > in_size:
             return None
+        # Lanes decode against the rest of the stripe container, matching
+        # the reference (rANS_static4x16pr.c:1412-1426).
+        stripe_end = pos + clen_tot
         ulens = [ulen // N + (1 if (ulen % N) > i else 0) for i in range(N)]
         lanes = []
         for i in range(N):
-            lane = _uncompress_into(buf[pos:pos + clens[i]], ulens[i])
+            lane = _uncompress_into(buf[pos:stripe_end], ulens[i])
             if lane is None or len(lane) != ulens[i]:
                 return None
             lanes.append(lane)
