@@ -28,6 +28,14 @@ X_CAT = 0x20
 X_NOSZ = 0x10
 X_STRIPE = 0x08
 
+import os as _os
+
+from .. import native as _native
+
+_USE_NATIVE = (
+    _os.environ.get("HTSCODECS_TPU_NATIVE", "1") != "0" and _native.available()
+)
+
 TF_SHIFT = fq.TF_SHIFT
 TOTFREQ = fq.TOTFREQ
 
@@ -62,6 +70,10 @@ def _compress_o0(data: np.ndarray) -> bytes:
     n = len(data)
     if n == 0:
         return b""
+    if _USE_NATIVE:
+        out = _native.enc_o0(data)
+        if out is not None:
+            return out
 
     F = [int(v) for v in fq.hist8(data)]
     fsum = n
@@ -85,6 +97,8 @@ def _compress_o0(data: np.ndarray) -> bytes:
 def _uncompress_o0(buf, pos: int, end: int, out_sz: int) -> np.ndarray | None:
     if end - pos < 16 or out_sz >= 2**31 - 1:
         return None
+    if _USE_NATIVE:
+        return _native.dec_o0(bytes(buf[pos:end]), out_sz)
     # The reference parses tables against in+in_size-8.
     tab_end = end - 8
     F, fsum, pos = fq.decode_freq(buf, pos, tab_end)
@@ -103,6 +117,10 @@ def _uncompress_o0(buf, pos: int, end: int, out_sz: int) -> np.ndarray | None:
 
 def _compress_o1(data: np.ndarray) -> bytes:
     n = len(data)
+    if _USE_NATIVE and n >= 4:
+        out = _native.enc_o1(data)
+        if out is not None:
+            return out
     Fnp, Tnp = fq.hist1_4(data)
     F = Fnp.astype(np.int64)
     T = Tnp.astype(np.int64)
@@ -159,6 +177,8 @@ def _compress_o1(data: np.ndarray) -> bytes:
 def _uncompress_o1(buf, pos: int, end: int, out_sz: int) -> np.ndarray | None:
     if end - pos < 16 or out_sz >= 2**31 - 1:
         return None
+    if _USE_NATIVE:
+        return _native.dec_o1(bytes(buf[pos:end]), out_sz)
 
     shift = buf[pos] >> 4
     if shift not in (fq.TF_SHIFT_O1, fq.TF_SHIFT_O1_FAST):

@@ -1,0 +1,196 @@
+"""Native host kernels: build-on-demand ctypes bindings.
+
+Compiles ``hostkernels.c`` with the system compiler on first import
+(cached next to the source, keyed by content hash) and exposes
+numpy-friendly wrappers.  Everything degrades gracefully: if no
+compiler is available the package falls back to the pure-Python oracle
+engines.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / "hostkernels.c"
+
+_lib = None
+
+
+def _build() -> ctypes.CDLL | None:
+    if not _SRC.exists():
+        return None
+    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    so = _HERE / f"_hostkernels_{tag}.so"
+    if not so.exists():
+        tmp = _HERE / f".build_{tag}.so"
+        for cc in ("gcc", "cc", "clang"):
+            try:
+                r = subprocess.run(
+                    [cc, "-O3", "-march=native", "-shared", "-fPIC",
+                     "-o", str(tmp), str(_SRC), "-lm"],
+                    capture_output=True, timeout=120,
+                )
+            except (OSError, subprocess.TimeoutExpired):
+                continue
+            if r.returncode == 0:
+                tmp.replace(so)
+                break
+        else:
+            return None
+        if not so.exists():
+            return None
+    try:
+        return ctypes.CDLL(str(so))
+    except OSError:
+        return None
+
+
+def _sig(fn, res, args):
+    fn.restype = res
+    fn.argtypes = args
+    return fn
+
+
+def get_lib():
+    global _lib
+    if _lib is None:
+        lib = _build()
+        if lib is None:
+            _lib = False
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64 = ctypes.c_int64
+        _sig(lib.r16_enc_o0, i64, [u8p, i64, u8p, i64])
+        _sig(lib.r16_enc_o1, i64, [u8p, i64, u8p, i64])
+        _sig(lib.r16_dec_o0, i64, [u8p, i64, u8p, i64])
+        _sig(lib.r16_dec_o1, i64, [u8p, i64, u8p, i64])
+        _sig(lib.r16_build_tables_o0, i64, [u8p, i64, u8p, i64, u32p, u32p])
+        _sig(lib.r16_build_tables_o1, i64, [u8p, i64, u8p, i64, u32p, u32p, i32p])
+        _sig(lib.r16_parse_tables_o0, i64, [u8p, i64, u8p, u16p, u16p])
+        _sig(lib.r16_parse_tables_o1, i64, [u8p, i64, u8p, u16p, u16p, i32p])
+        _lib = lib
+    return _lib if _lib is not False else None
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _u8(arr) -> tuple:
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def enc_o0(data: np.ndarray) -> bytes | None:
+    """Full order-0 block (freq header + payload)."""
+    lib = get_lib()
+    a, ap = _u8(data)
+    cap = int(1.1 * len(a) + 4096)
+    out = np.empty(cap, dtype=np.uint8)
+    r = lib.r16_enc_o0(ap, len(a), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    return out[:r].tobytes() if r >= 0 else None
+
+
+def enc_o1(data: np.ndarray) -> bytes | None:
+    lib = get_lib()
+    a, ap = _u8(data)
+    cap = int(1.1 * len(a) + 257 * 257 * 3 + 4096)
+    out = np.empty(cap, dtype=np.uint8)
+    r = lib.r16_enc_o1(ap, len(a), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    return out[:r].tobytes() if r >= 0 else None
+
+
+def dec_o0(blob, out_sz: int) -> np.ndarray | None:
+    lib = get_lib()
+    a, ap = _u8(np.frombuffer(bytes(blob), dtype=np.uint8))
+    out = np.empty(out_sz, dtype=np.uint8)
+    r = lib.r16_dec_o0(ap, len(a), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_sz)
+    return out if r >= 0 else None
+
+
+def dec_o1(blob, out_sz: int) -> np.ndarray | None:
+    lib = get_lib()
+    a, ap = _u8(np.frombuffer(bytes(blob), dtype=np.uint8))
+    out = np.empty(out_sz, dtype=np.uint8)
+    r = lib.r16_dec_o1(ap, len(a), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_sz)
+    return out if r >= 0 else None
+
+
+def build_tables_o0(data: np.ndarray):
+    """Returns (header bytes, starts (256,) u32, freqs (256,) u32)."""
+    lib = get_lib()
+    a, ap = _u8(data)
+    hdr = np.empty(257 * 3 + 16, dtype=np.uint8)
+    st = np.empty(256, dtype=np.uint32)
+    fr = np.empty(256, dtype=np.uint32)
+    hl = lib.r16_build_tables_o0(
+        ap, len(a), hdr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(hdr),
+        st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        fr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    if hl < 0:
+        return None
+    return hdr[:hl].tobytes(), st, fr
+
+
+def build_tables_o1(data: np.ndarray):
+    """Returns (header bytes, starts (256,256) u32, freqs, shift)."""
+    lib = get_lib()
+    a, ap = _u8(data)
+    hdr = np.empty(257 * 257 * 3 + 64, dtype=np.uint8)
+    st = np.empty((256, 256), dtype=np.uint32)
+    fr = np.empty((256, 256), dtype=np.uint32)
+    sh = ctypes.c_int32(0)
+    hl = lib.r16_build_tables_o1(
+        ap, len(a), hdr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(hdr),
+        st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        fr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.byref(sh))
+    if hl < 0:
+        return None
+    return hdr[:hl].tobytes(), st, fr, int(sh.value)
+
+
+def parse_tables_o0(blob):
+    """Returns (header length, ssym u8[4096], sfreq u16, sbase u16)."""
+    lib = get_lib()
+    a, ap = _u8(np.frombuffer(bytes(blob), dtype=np.uint8))
+    ssym = np.empty(4096, dtype=np.uint8)
+    sfreq = np.empty(4096, dtype=np.uint16)
+    sbase = np.empty(4096, dtype=np.uint16)
+    hl = lib.r16_parse_tables_o0(
+        ap, len(a), ssym.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sfreq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        sbase.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    if hl < 0:
+        return None
+    return int(hl), ssym, sfreq, sbase
+
+
+def parse_tables_o1(blob):
+    """Returns (payload offset, sfb (256,1<<shift) u8, f2d, b2d, shift)."""
+    lib = get_lib()
+    a, ap = _u8(np.frombuffer(bytes(blob), dtype=np.uint8))
+    sfb = np.empty(256 << 12, dtype=np.uint8)
+    f2d = np.empty(65536, dtype=np.uint16)
+    b2d = np.empty(65536, dtype=np.uint16)
+    sh = ctypes.c_int32(0)
+    off = lib.r16_parse_tables_o1(
+        ap, len(a), sfb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        f2d.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        b2d.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.byref(sh))
+    if off < 0:
+        return None
+    shift = int(sh.value)
+    return (int(off), sfb[:256 << shift].reshape(256, 1 << shift),
+            f2d.reshape(256, 256), b2d.reshape(256, 256), shift)

@@ -1,0 +1,669 @@
+/*
+ * htscodecs_tpu native host kernels.
+ *
+ * Host-side runtime for the TPU codec engine: frequency-table
+ * construction/parsing and scalar 4-state rANS block coding (16-bit
+ * renormalisation, CRAM 3.1 "4x16" layout).  The TPU path (ops/rans_jax.py)
+ * consumes the tables these produce and runs the batched payload scans
+ * on-device; these scalar coders are the host fallback and the oracle's
+ * fast twin.
+ *
+ * Behavioural parity with the reference C library (rANS_static4x16pr.c /
+ * rANS_word.h semantics) is bit-exact; the implementation is original:
+ * planar tables, no macro pasting, single translation unit, ctypes ABI.
+ *
+ * Build: gcc -O3 -shared -fPIC -o _hostkernels.so hostkernels.c
+ */
+
+#include <stdint.h>
+#include <string.h>
+#include <stdlib.h>
+#include <math.h>
+
+#define API __attribute__((visibility("default")))
+
+enum { SHIFT0 = 12, TOT0 = 1 << 12, LBOUND = 1u << 15 };
+
+/* ---------------------------------------------------------------- */
+/* big-endian 7-bit varints                                          */
+
+static int vput(uint8_t *p, uint32_t v) {
+    int s = 0;
+    uint32_t t = v;
+    do { s += 7; t >>= 7; } while (t);
+    int n = 0;
+    while (s) {
+        s -= 7;
+        p[n++] = ((v >> s) & 0x7f) | (s ? 0x80 : 0);
+    }
+    return n;
+}
+
+static int vget(const uint8_t *p, const uint8_t *end, uint32_t *v) {
+    uint32_t acc = 0;
+    int n = 0;
+    if (p >= end) { *v = 0; return 0; }
+    for (;;) {
+        uint8_t c = p[n++];
+        acc = (acc << 7) | (c & 0x7f);
+        if (!(c & 0x80) || p + n >= end) break;
+    }
+    *v = acc;
+    return n;
+}
+
+/* ---------------------------------------------------------------- */
+/* power-of-two helpers and frequency normalisation                  */
+
+static uint32_t pow2_ceil(uint32_t v) {
+    if (!v) return 0;
+    v--;
+    v |= v >> 1; v |= v >> 2; v |= v >> 4; v |= v >> 8; v |= v >> 16;
+    return v + 1;
+}
+
+/* Scale counts in F so they sum exactly to tot (largest-symbol
+ * adjustment with one retry pass). */
+static int norm_freq(uint32_t *F, uint32_t size, uint32_t tot) {
+    if (!size) return 0;
+    int pass = 0;
+    for (;;) {
+        uint64_t tr = (((uint64_t)tot << 31) / size) + ((1u << 30) / size);
+        uint32_t acc = 0, fmax = 0;
+        int imax = 0, j;
+        for (j = 0; j < 256; j++) {
+            if (!F[j]) continue;
+            if (fmax < F[j]) { fmax = F[j]; imax = j; }
+            F[j] = (uint32_t)(((uint64_t)F[j] * tr) >> 31);
+            if (!F[j]) F[j] = 1;
+            acc += F[j];
+        }
+        int64_t adj = (int64_t)tot - acc;
+        if (adj > 0) {
+            F[imax] += adj;
+        } else if (adj < 0) {
+            if ((int64_t)F[imax] > -adj && (pass == 1 || F[imax] / 2 >= -adj)) {
+                F[imax] += adj;
+            } else if (pass < 1) {
+                pass++;
+                size = acc;
+                continue;
+            } else {
+                adj += F[imax] - 1;
+                F[imax] = 1;
+                for (j = 0; adj && j < 256; j++) {
+                    if (F[j] < 2) continue;
+                    int64_t d = F[j] > -adj ? adj : 1 - (int64_t)F[j];
+                    F[j] += d;
+                    adj -= d;
+                }
+            }
+        }
+        return F[imax] > 0 ? 0 : -1;
+    }
+}
+
+static void norm_shift(uint32_t *F, uint32_t size, uint32_t want) {
+    if (!size || size == want) return;
+    int sh = 0;
+    while (size < want) { size <<= 1; sh++; }
+    for (int i = 0; i < 256; i++) F[i] <<= sh;
+}
+
+/* ---------------------------------------------------------------- */
+/* alphabet / frequency serialisation                                */
+
+static int put_alphabet(uint8_t *p, const uint32_t *F) {
+    int n = 0, run = 0, j;
+    for (j = 0; j < 256; j++) {
+        if (!F[j]) continue;
+        if (run) { run--; continue; }
+        p[n++] = j;
+        if (j && F[j - 1]) {
+            int r = j + 1;
+            while (r < 256 && F[r]) r++;
+            run = r - (j + 1);
+            p[n++] = run;
+        }
+    }
+    p[n++] = 0;
+    return n;
+}
+
+static int get_alphabet(const uint8_t *p, const uint8_t *end, uint32_t *F) {
+    memset(F, 0, 256 * sizeof(*F));
+    if (p == end) return 0;
+    const uint8_t *op = p;
+    int run = 0, j = *p++;
+    if (p + 2 < end) {
+        do {
+            F[j] = 1;
+            if (!run && j + 1 == *p) { j = p[0]; run = p[1]; p += 2; }
+            else if (run) { run--; if (++j > 255) return -1; }
+            else j = *p++;
+        } while (j && p + 2 < end);
+    }
+    if (j) {
+        do {
+            F[j] = 1;
+            if (p >= end) return -1;
+            if (!run && j + 1 == *p) {
+                if (p + 1 >= end) return -1;
+                j = p[0]; run = p[1]; p += 2;
+            } else if (run) {
+                run--; if (++j > 255) return -1;
+            } else {
+                j = *p++;
+            }
+        } while (j && p < end);
+    }
+    return (int)(p - op);
+}
+
+static int put_freq0(uint8_t *p, const uint32_t *F) {
+    int n = put_alphabet(p, F);
+    for (int j = 0; j < 256; j++)
+        if (F[j]) n += vput(p + n, F[j]);
+    return n;
+}
+
+static int get_freq0(const uint8_t *p, const uint8_t *end, uint32_t *F,
+                     uint32_t *sum) {
+    int n = get_alphabet(p, end, F);
+    if (n <= 0) return -1;
+    uint32_t tot = 0;
+    for (int j = 0; j < 256; j++) {
+        if (F[j]) {
+            n += vget(p + n, end, &F[j]);
+            tot += F[j];
+        }
+    }
+    *sum = tot;
+    return n;
+}
+
+/* delta row against the order-0 alphabet, zero runs folded */
+static int put_freq_row(uint8_t *p, const uint32_t *A, const uint32_t *F) {
+    int n = 0, dz = 0;
+    for (int j = 0; j < 256; j++) {
+        if (!A[j]) continue;
+        if (F[j]) {
+            if (dz) { n -= dz - 1; p[n++] = dz - 1; }
+            dz = 0;
+            n += vput(p + n, F[j]);
+        } else {
+            dz++;
+            p[n++] = 0;
+        }
+    }
+    if (dz) { n -= dz - 1; p[n++] = dz - 1; }
+    return n;
+}
+
+static int get_freq_row(const uint8_t *p, const uint8_t *end,
+                        const uint32_t *A, uint32_t *F, uint32_t *sum) {
+    int n = 0, dz = 0;
+    uint32_t tot = 0;
+    memset(F, 0, 256 * sizeof(*F));
+    for (int j = 0; j < 256 && p + n < end; j++) {
+        if (!A[j]) continue;
+        uint32_t f;
+        if (dz) {
+            f = 0;
+            dz--;
+        } else {
+            if (p + n >= end) return -1;
+            n += vget(p + n, end, &f);
+            if (!f) {
+                if (p + n >= end) return -1;
+                dz = p[n++];
+            }
+        }
+        F[j] = f;
+        tot += f;
+    }
+    *sum = tot;
+    return n;
+}
+
+/* ---------------------------------------------------------------- */
+/* entropy estimate for the 10 vs 12 bit order-1 table choice        */
+
+static double logbits(double a) {
+    union { double d; int64_t i; } u = { a };
+    return (u.i - 4606921278410026770LL) * 1.539095918623324e-16;
+}
+
+static int pick_shift(const uint32_t *A, uint32_t (*F)[256],
+                      const uint32_t *T, uint32_t *S) {
+    double e10 = 0, e12 = 0;
+    uint32_t max_tot = 0;
+    for (int i = 0; i < 256; i++) {
+        if (!A[i]) continue;
+        uint32_t cap = pow2_ceil(T[i]);
+        int ns = 0, sm10 = 0, sm12 = 0, j;
+        for (j = 0; j < 256; j++) {
+            if (F[i][j] && cap / F[i][j] > 1024) sm10++;
+            if (F[i][j] && cap / F[i][j] > 4096) sm12++;
+        }
+        double l10 = log(1024 + sm10), l12 = log(4096 + sm12);
+        for (j = 0; j < 256; j++) {
+            if (!F[i][j]) continue;
+            ns++;
+            int x = (int)(1024.0 * F[i][j] / T[i]);
+            e10 -= F[i][j] * (logbits(x > 1 ? x : 1) - l10);
+            x = (int)(4096.0 * F[i][j] / T[i]);
+            e12 -= F[i][j] * (logbits(x > 1 ? x : 1) - l12);
+            e10 += 4;
+            e12 += 6;
+        }
+        if (ns < 64 && cap > 128) cap /= 2;
+        if (cap > 1024) cap /= 2;
+        if (cap > 4096) cap = 4096;
+        S[i] = cap;
+        if (max_tot < cap) max_tot = cap;
+    }
+    return (e10 / e12 < 1.01 || max_tot <= 1024) ? 10 : 12;
+}
+
+/* ---------------------------------------------------------------- */
+/* 4-state rANS, 16-bit renorm: scalar coder                         */
+
+typedef struct { uint32_t x[4]; } rstate;
+
+static inline uint16_t *eput(uint32_t *x, uint16_t *wp,
+                             uint32_t start, uint32_t freq, int shift) {
+    uint32_t v = *x;
+    if (v >= ((LBOUND >> shift) << 16) * freq) {
+        *--wp = (uint16_t)v;
+        v >>= 16;
+    }
+    *x = (v / freq << shift) + v % freq + start;
+    return wp;
+}
+
+/* Encode payload (4 LE u32 flushes + renorm words) into out; returns
+ * payload byte count.  starts/freqs are planar 256-entry tables. */
+static int64_t enc_payload_o0(const uint8_t *in, int64_t n,
+                              const uint32_t *starts, const uint32_t *freqs,
+                              uint8_t *out, int64_t cap) {
+    uint16_t *base = (uint16_t *)malloc(n * 2 + 64), *wp;
+    if (!base) return -1;
+    wp = base + n + 16;
+    uint16_t *end16 = wp;
+    uint32_t X[4] = { LBOUND, LBOUND, LBOUND, LBOUND };
+    for (int64_t i = n - 1; i >= 0; i--) {
+        uint8_t s = in[i];
+        wp = eput(&X[i & 3], wp, starts[s], freqs[s], SHIFT0);
+    }
+    int64_t nw = end16 - wp;
+    if (16 + nw * 2 > cap) { free(base); return -1; }
+    for (int j = 0; j < 4; j++) {
+        uint32_t v = X[j];
+        out[j * 4 + 0] = v;
+        out[j * 4 + 1] = v >> 8;
+        out[j * 4 + 2] = v >> 16;
+        out[j * 4 + 3] = v >> 24;
+    }
+    for (int64_t k = 0; k < nw; k++) {
+        out[16 + k * 2] = wp[k] & 0xff;
+        out[16 + k * 2 + 1] = wp[k] >> 8;
+    }
+    free(base);
+    return 16 + nw * 2;
+}
+
+static int64_t enc_payload_o1(const uint8_t *in, int64_t n,
+                              const uint32_t *starts, const uint32_t *freqs,
+                              int shift, uint8_t *out, int64_t cap) {
+    uint16_t *base = (uint16_t *)malloc(n * 2 + 64), *wp;
+    if (!base) return -1;
+    wp = base + n + 16;
+    uint16_t *end16 = wp;
+    uint32_t X[4] = { LBOUND, LBOUND, LBOUND, LBOUND };
+    int64_t q = n >> 2;
+
+    int lt = in[n - 1];
+    for (int64_t i = n - 2; i > 4 * q - 2; i--) {
+        int c = in[i];
+        wp = eput(&X[3], wp, starts[c * 256 + lt], freqs[c * 256 + lt], shift);
+        lt = c;
+    }
+    int last[4] = { in[q - 1], in[2 * q - 1], in[3 * q - 1], lt };
+    for (int64_t k = q - 2; k >= 0; k--) {
+        for (int j = 3; j >= 0; j--) {
+            int c = in[j * q + k];
+            int l = last[j];
+            wp = eput(&X[j], wp, starts[c * 256 + l], freqs[c * 256 + l], shift);
+            last[j] = c;
+        }
+    }
+    for (int j = 3; j >= 0; j--)
+        wp = eput(&X[j], wp, starts[last[j]], freqs[last[j]], shift);
+
+    int64_t nw = end16 - wp;
+    if (16 + nw * 2 > cap) { free(base); return -1; }
+    for (int j = 0; j < 4; j++) {
+        uint32_t v = X[j];
+        out[j * 4 + 0] = v;
+        out[j * 4 + 1] = v >> 8;
+        out[j * 4 + 2] = v >> 16;
+        out[j * 4 + 3] = v >> 24;
+    }
+    for (int64_t k = 0; k < nw; k++) {
+        out[16 + k * 2] = wp[k] & 0xff;
+        out[16 + k * 2 + 1] = wp[k] >> 8;
+    }
+    free(base);
+    return 16 + nw * 2;
+}
+
+/* ---------------------------------------------------------------- */
+/* public: order-0 block encode (freq header + payload)              */
+
+API int64_t r16_build_tables_o0(const uint8_t *in, int64_t n,
+                                uint8_t *hdr, int64_t hdr_cap,
+                                uint32_t *starts, uint32_t *freqs) {
+    /* returns header length; fills normalised (start,freq) tables */
+    uint32_t F[256];
+    memset(F, 0, sizeof F);
+    for (int64_t i = 0; i < n; i++) F[in[i]]++;
+    uint32_t cap = pow2_ceil((uint32_t)n);
+    if (cap > TOT0) cap = TOT0;
+    if (norm_freq(F, (uint32_t)n, cap) < 0) return -1;
+    int hl = put_freq0(hdr, F);
+    if (hl > hdr_cap) return -1;
+    norm_shift(F, cap, TOT0);
+    uint32_t x = 0;
+    for (int j = 0; j < 256; j++) {
+        starts[j] = x;
+        x += F[j];
+        freqs[j] = F[j];
+    }
+    return hl;
+}
+
+API int64_t r16_enc_o0(const uint8_t *in, int64_t n,
+                       uint8_t *out, int64_t cap) {
+    if (n == 0) return 0;
+    uint32_t starts[256], freqs[256];
+    int64_t hl = r16_build_tables_o0(in, n, out, cap, starts, freqs);
+    if (hl < 0) return -1;
+    int64_t pl = enc_payload_o0(in, n, starts, freqs, out + hl, cap - hl);
+    if (pl < 0) return -1;
+    return hl + pl;
+}
+
+/* order-1 tables; returns header length (header includes the
+ * shift/compressed-marker byte and the possibly rANS-packed rows). */
+API int64_t r16_build_tables_o1(const uint8_t *in, int64_t n,
+                                uint8_t *hdr, int64_t hdr_cap,
+                                uint32_t *starts, uint32_t *freqs,
+                                int32_t *shift_out) {
+    uint32_t (*F)[256] = calloc(256, sizeof(*F));
+    uint32_t T[256], A[256], S[256];
+    if (!F) return -1;
+    memset(T, 0, sizeof T);
+    memset(A, 0, sizeof A);
+    memset(S, 0, sizeof S);
+
+    /* order-1 histogram, initial context 0 */
+    {
+        uint8_t l = 0;
+        for (int64_t i = 0; i < n; i++) {
+            F[l][in[i]]++;
+            T[l]++;
+            l = in[i];
+        }
+    }
+    int64_t q = n >> 2;
+    F[0][in[q]]++; F[0][in[2 * q]]++; F[0][in[3 * q]]++;
+    T[0] += 3;
+
+    for (int64_t i = 0; i < n; i++) A[in[i]] = 1;
+    A[0] = 1;
+
+    int hl = 1;
+    hl += put_alphabet(hdr + hl, A);
+
+    int shift = pick_shift(A, F, T, S);
+    *shift_out = shift;
+
+    for (int i = 0; i < 256; i++) {
+        if (!A[i]) continue;
+        uint32_t cap = S[i];
+        if (shift == 10 && cap > 1024) cap = 1024;
+        if (norm_freq(F[i], T[i], cap) < 0) { free(F); return -1; }
+        hl += put_freq_row(hdr + hl, A, F[i]);
+        norm_shift(F[i], cap, 1u << shift);
+        uint32_t x = 0;
+        for (int j = 0; j < 256; j++) {
+            starts[i * 256 + j] = x;
+            x += F[i][j];
+            freqs[i * 256 + j] = F[i][j];
+        }
+    }
+    free(F);
+
+    hdr[0] = shift << 4;
+    if (hl > 1000) {
+        /* try packing the table block itself with order-0 rANS */
+        int64_t u_sz = hl - 1;
+        uint8_t *cbuf = malloc(u_sz + 1024);
+        if (cbuf) {
+            int64_t c_sz = r16_enc_o0(hdr + 1, u_sz, cbuf, u_sz + 1024);
+            if (c_sz > 0 && c_sz + 6 < hl) {
+                uint8_t tmp[16];
+                int m = 0;
+                tmp[m++] = hdr[0] | 1;
+                m += vput(tmp + m, (uint32_t)u_sz);
+                m += vput(tmp + m, (uint32_t)c_sz);
+                memcpy(hdr, tmp, m);
+                memcpy(hdr + m, cbuf, c_sz);
+                hl = m + c_sz;
+            }
+            free(cbuf);
+        }
+    }
+    if (hl > hdr_cap) return -1;
+    return hl;
+}
+
+API int64_t r16_enc_o1(const uint8_t *in, int64_t n,
+                       uint8_t *out, int64_t cap) {
+    if (n < 4) return -1;
+    uint32_t *starts = malloc(65536 * sizeof(uint32_t));
+    uint32_t *freqs = malloc(65536 * sizeof(uint32_t));
+    int32_t shift = 12;
+    if (!starts || !freqs) { free(starts); free(freqs); return -1; }
+    int64_t hl = r16_build_tables_o1(in, n, out, cap, starts, freqs, &shift);
+    int64_t pl = hl < 0 ? -1
+        : enc_payload_o1(in, n, starts, freqs, shift, out + hl, cap - hl);
+    free(starts);
+    free(freqs);
+    return pl < 0 ? -1 : hl + pl;
+}
+
+/* ---------------------------------------------------------------- */
+/* decode                                                            */
+
+static inline uint32_t dget(const uint8_t *p) {
+    return p[0] | (p[1] << 8) | (p[2] << 16) | ((uint32_t)p[3] << 24);
+}
+
+/* order-0: parse tables into slot LUTs; returns bytes consumed */
+API int64_t r16_parse_tables_o0(const uint8_t *in, int64_t n,
+                                uint8_t *ssym, uint16_t *sfreq,
+                                uint16_t *sbase) {
+    uint32_t F[256], sum;
+    const uint8_t *end = in + n - 8;
+    int hl = get_freq0(in, end, F, &sum);
+    if (hl < 0) return -1;
+    norm_shift(F, sum, TOT0);
+    uint32_t x = 0;
+    for (int j = 0; j < 256; j++) {
+        if (!F[j]) continue;
+        if (F[j] > TOT0 - x) return -1;
+        memset(ssym + x, j, F[j]);
+        for (uint32_t y = 0; y < F[j]; y++) {
+            sfreq[x + y] = F[j];
+            sbase[x + y] = y;
+        }
+        x += F[j];
+    }
+    if (x != TOT0) return -1;
+    return hl;
+}
+
+API int64_t r16_dec_o0(const uint8_t *in, int64_t n,
+                       uint8_t *out, int64_t out_sz) {
+    if (n < 16) return -1;
+    static __thread uint8_t ssym[TOT0];
+    static __thread uint16_t sfreq[TOT0], sbase[TOT0];
+    int64_t hl = r16_parse_tables_o0(in, n, ssym, sfreq, sbase);
+    if (hl < 0 || hl + 16 > n) return -1;
+    const uint8_t *p = in + hl, *pend = in + n;
+    uint32_t X[4];
+    for (int j = 0; j < 4; j++) {
+        X[j] = dget(p);
+        p += 4;
+        if (X[j] < LBOUND) return -1;
+    }
+    for (int64_t i = 0; i < out_sz; i++) {
+        uint32_t *x = &X[i & 3];
+        uint32_t m = *x & (TOT0 - 1);
+        out[i] = ssym[m];
+        *x = sfreq[m] * (*x >> SHIFT0) + sbase[m];
+        if (*x < LBOUND && p + 1 < pend) {
+            *x = (*x << 16) | (p[0] | (p[1] << 8));
+            p += 2;
+        }
+    }
+    return out_sz;
+}
+
+/* order-1: parse tables; sfb is (256 << shift) u8, fb is 2*65536 u16
+ * pairs (freq, base).  Returns payload offset, sets *shift_out. */
+API int64_t r16_parse_tables_o1(const uint8_t *in, int64_t n,
+                                uint8_t *sfb, uint16_t *f2d, uint16_t *b2d,
+                                int32_t *shift_out) {
+    if (n < 16) return -1;
+    const uint8_t *p = in, *end = in + n;
+    int shift = *p >> 4;
+    int packed = *p & 1;
+    p++;
+    if (shift != 10 && shift != 12) return -1;
+    *shift_out = shift;
+    uint32_t tot = 1u << shift;
+
+    const uint8_t *tp = p, *tend = end;
+    uint8_t *ubuf = NULL;
+    const uint8_t *resume = NULL;
+    if (packed) {
+        uint32_t u_sz, c_sz;
+        p += vget(p, end, &u_sz);
+        p += vget(p, end, &c_sz);
+        if ((int64_t)c_sz >= end - p - 16) return -1;
+        ubuf = malloc(u_sz);
+        if (!ubuf) return -1;
+        if (r16_dec_o0(p, c_sz, ubuf, u_sz) < 0) { free(ubuf); return -1; }
+        resume = p + c_sz;
+        tp = ubuf;
+        tend = ubuf + u_sz;
+    }
+
+    uint32_t A[256];
+    int al = get_alphabet(tp, tend, A);
+    if (al <= 0 || tp + al >= tend) { free(ubuf); return -1; }
+    tp += al;
+
+    memset(sfb, 0, (size_t)256 << shift);
+    memset(f2d, 0, 65536 * sizeof(*f2d));
+    memset(b2d, 0, 65536 * sizeof(*b2d));
+
+    for (int i = 0; i < 256; i++) {
+        if (!A[i]) continue;
+        uint32_t F[256], sum;
+        int rl = get_freq_row(tp, tend, A, F, &sum);
+        if (rl < 0) { free(ubuf); return -1; }
+        tp += rl;
+        if (!sum) continue;
+        norm_shift(F, sum, tot);
+        uint32_t x = 0;
+        for (int j = 0; j < 256; j++) {
+            if (!F[j]) continue;
+            if (F[j] > tot - x) { free(ubuf); return -1; }
+            memset(sfb + ((size_t)i << shift) + x, j, F[j]);
+            f2d[i * 256 + j] = F[j];
+            b2d[i * 256 + j] = x;
+            x += F[j];
+        }
+        if (x != tot) { free(ubuf); return -1; }
+    }
+
+    int64_t off;
+    if (packed) {
+        off = resume - in;
+        free(ubuf);
+    } else {
+        off = tp - in;
+    }
+    return off;
+}
+
+API int64_t r16_dec_o1(const uint8_t *in, int64_t n,
+                       uint8_t *out, int64_t out_sz) {
+    if (n < 16) return -1;
+    uint8_t *sfb = malloc((size_t)256 << 12);
+    uint16_t *f2d = malloc(65536 * sizeof(uint16_t));
+    uint16_t *b2d = malloc(65536 * sizeof(uint16_t));
+    int32_t shift = 12;
+    int64_t off = (sfb && f2d && b2d)
+        ? r16_parse_tables_o1(in, n, sfb, f2d, b2d, &shift) : -1;
+    if (off < 0 || off + 16 > n) { free(sfb); free(f2d); free(b2d); return -1; }
+
+    const uint8_t *p = in + off, *pend = in + n;
+    uint32_t X[4];
+    int rc = 0;
+    for (int j = 0; j < 4; j++) {
+        X[j] = dget(p);
+        p += 4;
+        if (X[j] < LBOUND) rc = -1;
+    }
+    if (!rc) {
+        uint32_t mask = (1u << shift) - 1;
+        int64_t q = out_sz >> 2;
+        int ctx[4] = { 0, 0, 0, 0 };
+        for (int64_t k = 0; k < q; k++) {
+            for (int j = 0; j < 4; j++) {
+                uint32_t x = X[j];
+                uint32_t m = x & mask;
+                uint8_t c = sfb[((size_t)ctx[j] << shift) + m];
+                out[j * q + k] = c;
+                x = f2d[ctx[j] * 256 + c] * (x >> shift) + m
+                    - b2d[ctx[j] * 256 + c];
+                if (x < LBOUND && p + 1 < pend) {
+                    x = (x << 16) | (p[0] | (p[1] << 8));
+                    p += 2;
+                }
+                X[j] = x;
+                ctx[j] = c;
+            }
+        }
+        int l3 = ctx[3];
+        uint32_t x = X[3];
+        for (int64_t i = 4 * q; i < out_sz; i++) {
+            uint32_t m = x & mask;
+            uint8_t c = sfb[((size_t)l3 << shift) + m];
+            out[i] = c;
+            x = f2d[l3 * 256 + c] * (x >> shift) + m - b2d[l3 * 256 + c];
+            if (x < LBOUND && p + 1 < pend) {
+                x = (x << 16) | (p[0] | (p[1] << 8));
+                p += 2;
+            }
+            l3 = c;
+        }
+    }
+    free(sfb); free(f2d); free(b2d);
+    return rc ? rc : out_sz;
+}
