@@ -406,6 +406,8 @@ API int64_t r16_build_tables_o1(const uint8_t *in, int64_t n,
     memset(T, 0, sizeof T);
     memset(A, 0, sizeof A);
     memset(S, 0, sizeof S);
+    memset(starts, 0, 65536 * sizeof(*starts));
+    memset(freqs, 0, 65536 * sizeof(*freqs));
 
     /* order-1 histogram, initial context 0 */
     {
