@@ -60,4 +60,5 @@ def test_table_prep_matches_full_encode():
     off1, sfb, f2d, b2d, shift2 = native.parse_tables_o1(full1)
     assert off1 == len(hdr1) and shift2 == shift
     assert (f2d == fr1.astype(np.uint16)).all()
-    assert (b2d == st1.astype(np.uint16)).all()
+    used = fr1 > 0  # zero-freq slots are never coded; fill values differ
+    assert (b2d[used] == st1.astype(np.uint16)[used]).all()
