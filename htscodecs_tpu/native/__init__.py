@@ -78,6 +78,7 @@ def get_lib():
         _sig(lib.r16_build_tables_o1, i64, [u8p, i64, u8p, i64, u32p, u32p, i32p])
         _sig(lib.r16_parse_tables_o0, i64, [u8p, i64, u8p, u16p, u16p])
         _sig(lib.r16_parse_tables_o1, i64, [u8p, i64, u8p, u16p, u16p, i32p])
+        _sig(lib.r16_gather_params_o1, i64, [u8p, i64, u32p, u32p, u16p, u16p])
         _lib = lib
     return _lib if _lib is not False else None
 
@@ -174,6 +175,28 @@ def parse_tables_o0(blob):
     if hl < 0:
         return None
     return int(hl), ssym, sfreq, sbase
+
+
+def gather_params_o1(data: np.ndarray, starts: np.ndarray, freqs: np.ndarray):
+    """Per-symbol (start, freq) u16 coding params in the batched
+    engine's processing order.  Requires len(data) % 4 == 0.
+    Returns (st (K,4), fr (K,4))."""
+    lib = get_lib()
+    a, ap = _u8(data)
+    n = len(a)
+    st32 = np.ascontiguousarray(starts, dtype=np.uint32)
+    fr32 = np.ascontiguousarray(freqs, dtype=np.uint32)
+    so = np.empty(n, dtype=np.uint16)
+    fo = np.empty(n, dtype=np.uint16)
+    w = lib.r16_gather_params_o1(
+        ap, n,
+        st32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        fr32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        so.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        fo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    if w < 0:
+        return None
+    return so.reshape(-1, 4), fo.reshape(-1, 4)
 
 
 def parse_tables_o1(blob):

@@ -669,3 +669,32 @@ API int64_t r16_dec_o1(const uint8_t *in, int64_t n,
     free(sfb); free(f2d); free(b2d);
     return rc ? rc : out_sz;
 }
+
+/* ---------------------------------------------------------------- */
+/* Encode coding-parameter gather for the batched TPU engine.        */
+/* Fills per-step (start, freq) pairs in processing order            */
+/* (k = q-2..0, states 3..0; then the 4 context-0 leaders), matching */
+/* ops/rans_jax.enc_o1_batch for N % 4 == 0 blocks.                  */
+
+API int64_t r16_gather_params_o1(const uint8_t *in, int64_t n,
+                                 const uint32_t *starts,
+                                 const uint32_t *freqs,
+                                 uint16_t *st_out, uint16_t *fr_out) {
+    if (n < 8 || (n & 3)) return -1;
+    int64_t q = n >> 2, w = 0;
+    for (int64_t k = q - 2; k >= 0; k--) {
+        for (int j = 3; j >= 0; j--) {
+            int idx = in[j * q + k] * 256 + in[j * q + k + 1];
+            st_out[w] = (uint16_t)starts[idx];
+            fr_out[w] = (uint16_t)freqs[idx];
+            w++;
+        }
+    }
+    for (int j = 3; j >= 0; j--) {
+        int idx = in[j * q];
+        st_out[w] = (uint16_t)starts[idx];
+        fr_out[w] = (uint16_t)freqs[idx];
+        w++;
+    }
+    return w;
+}

@@ -252,7 +252,7 @@ def dec_o0_batch(states: np.ndarray, words: np.ndarray, out_sz: int,
 
 @functools.partial(jax.jit, static_argnames=("shift", "K", "q"))
 def _dec_o1_scan(X0, buf, p0, sfb_flat, fbb_flat, shift: int, K: int, q: int):
-    """sfb_flat: (B, 256<<shift) u8->u32 symbol LUT (ctx*tot + slot);
+    """sfb_flat: (B, 256<<shift) u8 symbol LUT (ctx*tot + slot);
     fbb_flat: (B, 65536) u32 packed (freq<<16 | base) per (ctx, sym).
     States 0-2 stop after q steps; state 3 runs K steps (tail)."""
     B = X0.shape[0]
@@ -265,7 +265,7 @@ def _dec_o1_scan(X0, buf, p0, sfb_flat, fbb_flat, shift: int, K: int, q: int):
         X, p, ctx = carry
         act = jnp.where(s < q, jnp.ones((4,), bool), active_tail)[None, :]
         m = X & mask
-        sym = jnp.take_along_axis(sfb_flat, ctx * tot + m, axis=1)
+        sym = jnp.take_along_axis(sfb_flat, ctx * tot + m, axis=1).astype(jnp.uint32)
         fb = jnp.take_along_axis(fbb_flat, (ctx << 8) | sym, axis=1)
         f = fb >> 16
         b = fb & jnp.uint32(0xFFFF)
@@ -303,7 +303,7 @@ def dec_o1_batch(states: np.ndarray, words: np.ndarray, out_sz: int,
         jnp.asarray(states.astype(np.uint32)),
         jnp.asarray(words.astype(np.uint32)),
         jnp.zeros((B,), dtype=jnp.int32),
-        jnp.asarray(sfb.reshape(B, -1).astype(np.uint32)),
+        jnp.asarray(sfb.reshape(B, -1)),
         jnp.asarray(fbb),
         shift, K, q,
     )
