@@ -1,0 +1,185 @@
+"""Batched block codec API.
+
+Compresses/decompresses many independent CRAM blocks at once, routing
+the entropy payload work to the batched TPU engines (ops/rans_jax.py)
+when a group is large enough, and to the native host kernels otherwise.
+Streams are byte-identical to `rans4x16.compress` / the C reference in
+every path.
+
+Batching rules: blocks group by (length, order[, table precision]) —
+the scans are shape-specialised.  Blocks that use transform flags
+(PACK/RLE/STRIPE/CAT) fall back to the single-block host path; the
+transforms are cheap host array ops and the entropy payloads they
+produce re-enter this API recursively in future rounds.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+from . import rans4x16
+from .. import native
+from ..utils import varint
+
+# Below this many blocks in a shape group, the host path wins (device
+# dispatch latency + staging dominate tiny batches).
+DEVICE_MIN_GROUP = 16
+
+
+def _as_u8(b) -> np.ndarray:
+    if isinstance(b, np.ndarray):
+        return b.astype(np.uint8, copy=False)
+    return np.frombuffer(bytes(b), dtype=np.uint8)
+
+
+def compress_blocks(blocks, order: int, engine: str = "auto") -> list[bytes]:
+    """Compress a sequence of blocks with the rANS 4x16 codec.
+
+    engine: "auto" | "device" | "host".
+    """
+    arrs = [_as_u8(b) for b in blocks]
+    out: list[bytes | None] = [None] * len(arrs)
+
+    plain_order = order in (0, 1)
+    groups: dict[int, list[int]] = defaultdict(list)
+    for i, a in enumerate(arrs):
+        if plain_order and engine != "host" and len(a) >= 32:
+            groups[len(a)].append(i)
+        else:
+            out[i] = rans4x16.compress(a, order)
+
+    for n, idxs in groups.items():
+        if engine != "device" and len(idxs) < DEVICE_MIN_GROUP:
+            for i in idxs:
+                out[i] = rans4x16.compress(arrs[i], order)
+            continue
+        batch = np.stack([arrs[i] for i in idxs])
+        streams = (_compress_batch_o1(batch) if order == 1
+                   else _compress_batch_o0(batch))
+        for i, s in zip(idxs, streams):
+            out[i] = s
+
+    return out  # type: ignore[return-value]
+
+
+def _frame(order_byte: int, n: int, body: bytes, data: np.ndarray) -> bytes:
+    """Wrapper framing incl. the CAT fallback (compressed >= input)."""
+    head = bytearray([order_byte])
+    varint.put_uint(head, n)
+    if len(body) >= n:
+        head[0] = (head[0] & ~3 & 0xFF) | rans4x16.X_CAT
+        return bytes(head) + data.tobytes()
+    return bytes(head) + body
+
+
+def _compress_batch_o0(batch: np.ndarray) -> list[bytes]:
+    from ..ops import rans_jax
+    B, N = batch.shape
+    hdrs = []
+    starts = np.zeros((B, 256), np.uint32)
+    freqs = np.zeros((B, 256), np.uint32)
+    for b in range(B):
+        r = native.build_tables_o0(batch[b]) if native.available() else None
+        if r is None:
+            return [rans4x16.compress(batch[b], 0) for b in range(B)]
+        h, s, f = r
+        hdrs.append(h)
+        starts[b], freqs[b] = s, f
+    states, words, counts = rans_jax.enc_o0_batch(batch, starts, freqs, 12)
+    out = []
+    for b in range(B):
+        body = hdrs[b] + states[b].astype("<u4").tobytes() + \
+            words[b, :counts[b]].astype("<u2").tobytes()
+        out.append(_frame(0, N, body, batch[b]))
+    return out
+
+
+def _compress_batch_o1(batch: np.ndarray) -> list[bytes]:
+    from ..ops import rans_jax
+    B, N = batch.shape
+    if N < 8 or not native.available():
+        return [rans4x16.compress(batch[b], 1) for b in range(B)]
+    hdrs = [None] * B
+    starts = np.zeros((B, 256, 256), np.uint32)
+    freqs = np.zeros((B, 256, 256), np.uint32)
+    shifts = np.zeros(B, np.int32)
+    for b in range(B):
+        h, s, f, sh = native.build_tables_o1(batch[b])
+        hdrs[b], starts[b], freqs[b], shifts[b] = h, s, f, sh
+    out: list[bytes | None] = [None] * B
+    for shift in np.unique(shifts):
+        sel = np.flatnonzero(shifts == shift)
+        sub = batch[sel]
+        states, words, counts = rans_jax.enc_o1_batch(
+            sub, starts[sel], freqs[sel], int(shift))
+        for k, b in enumerate(sel):
+            body = hdrs[b] + states[k].astype("<u4").tobytes() + \
+                words[k, :counts[k]].astype("<u2").tobytes()
+            out[b] = _frame(1, N, body, batch[b])
+    return out  # type: ignore[return-value]
+
+
+def uncompress_blocks(streams, out_sizes=None, engine: str = "auto") -> list[bytes]:
+    """Decompress a sequence of rANS 4x16 streams."""
+    streams = [bytes(s) for s in streams]
+    out: list[bytes | None] = [None] * len(streams)
+
+    # classify: plain order 0/1 with stored size -> batched path
+    groups: dict[tuple, list] = defaultdict(list)
+    for i, s in enumerate(streams):
+        if not s:
+            raise ValueError("corrupt rans4x16 stream")
+        flags = s[0]
+        plain = (flags & ~1) == 0 and engine != "host" and native.available()
+        if not plain:
+            out[i] = rans4x16.uncompress(
+                s, out_sizes[i] if out_sizes is not None else None)
+            continue
+        osz, pos = varint.get_uint(s, 1, len(s))
+        order = flags & 1
+        if order == 1:
+            r = native.parse_tables_o1(s[pos:])
+            if r is None:
+                raise ValueError("corrupt rans4x16 stream")
+            off, sfb, f2d, b2d, shift = r
+            groups[(1, osz, shift)].append((i, s, pos + off, sfb, f2d, b2d))
+        else:
+            r = native.parse_tables_o0(s[pos:])
+            if r is None:
+                raise ValueError("corrupt rans4x16 stream")
+            off, ssym, sfreq, sbase = r
+            groups[(0, osz)].append((i, s, pos + off, ssym, sfreq, sbase))
+
+    from ..ops import rans_jax
+    for key, items in groups.items():
+        if engine != "device" and len(items) < DEVICE_MIN_GROUP:
+            for it in items:
+                i, s = it[0], it[1]
+                out[i] = rans4x16.uncompress(s)
+            continue
+        order, osz = key[0], key[1]
+        B = len(items)
+        W = max((len(s) - off - 16) // 2 for _, s, off, *_ in items)
+        states = np.zeros((B, 4), np.uint32)
+        words = np.zeros((B, max(W, 1)), "<u2")
+        for k, (_, s, off, *_t) in enumerate(items):
+            states[k] = np.frombuffer(s[off:off + 16], "<u4")
+            w = np.frombuffer(s[off + 16: off + 16 + 2 * ((len(s) - off - 16) // 2)], "<u2")
+            words[k, :len(w)] = w
+        if order == 1:
+            shift = key[2]
+            sfb = np.stack([t[3] for t in items])
+            f2d = np.stack([t[4] for t in items])
+            b2d = np.stack([t[5] for t in items])
+            dec = rans_jax.dec_o1_batch(states, words, osz, sfb, f2d, b2d, shift)
+        else:
+            ssym = np.stack([t[3] for t in items])
+            sfreq = np.stack([t[4] for t in items])
+            sbase = np.stack([t[5] for t in items])
+            dec = rans_jax.dec_o0_batch(states, words, osz, ssym, sfreq, sbase, 12)
+        for k, it in enumerate(items):
+            out[it[0]] = dec[k].tobytes()
+
+    return out  # type: ignore[return-value]

@@ -1,0 +1,48 @@
+"""Batched API must produce byte-identical streams to the host codec.
+
+Runs in a scrubbed-env subprocess (CPU backend) so the shape-specialised
+scans compile quickly and deterministically.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_SCRIPT = r"""
+import sys
+sys.path.insert(0, "__REPO__")
+import numpy as np
+from htscodecs_tpu.models import batch, rans4x16
+
+rng = np.random.default_rng(5)
+for order in (0, 1):
+    for N in (1000, 4096, 1003):
+        blocks = [
+            (rng.integers(0, 30, N, dtype=np.uint8) + 33) for _ in range(20)
+        ]
+        dev = batch.compress_blocks(blocks, order, engine="device")
+        ref = [rans4x16.compress(b, order) for b in blocks]
+        assert dev == ref, f"encode mismatch order={order} N={N}"
+        back = batch.uncompress_blocks(dev, engine="device")
+        assert back == [b.tobytes() for b in blocks], f"decode mismatch {order} {N}"
+
+# mixed lengths and transform flags route through the host path
+mixed = [b"hello world" * 30, bytes(rng.integers(0, 4, 777, dtype=np.uint8) + 60)]
+enc = batch.compress_blocks(mixed, 193)
+assert [rans4x16.uncompress(e) for e in enc] == [bytes(m) for m in mixed]
+print("BATCH-OK")
+"""
+
+
+def test_batch_matches_host():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-c", _SCRIPT.replace("__REPO__", str(REPO))],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert "BATCH-OK" in r.stdout, r.stdout + r.stderr[-3000:]

@@ -14,7 +14,7 @@ REPO = Path(__file__).resolve().parent.parent
 
 _SCRIPT = r"""
 import sys
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "__REPO__")
 import jax
 assert len(jax.devices()) == 8, jax.devices()
 import __graft_entry__ as g
@@ -32,7 +32,7 @@ def test_dryrun_multichip_virtual_mesh():
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     r = subprocess.run(
-        [sys.executable, "-c", _SCRIPT.format(repo=str(REPO))],
+        [sys.executable, "-c", _SCRIPT.replace("__REPO__", str(REPO))],
         capture_output=True, text=True, timeout=600, env=env,
     )
     assert "SHARDING-OK" in r.stdout, r.stdout + r.stderr
