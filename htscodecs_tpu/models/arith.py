@@ -31,6 +31,14 @@ X_ORDER = 0x03
 MAX_RUN = 4
 NSYM_RUN = 258
 
+import os as _os
+
+from .. import native as _native
+
+_USE_NATIVE = (
+    _os.environ.get("HTSCODECS_TPU_NATIVE", "1") != "0" and _native.available()
+)
+
 
 def compress_bound(size: int, order: int) -> int:
     base = int(
@@ -249,13 +257,18 @@ def compress(data, order: int) -> bytes:
         out[0] &= ~3 & 0xFF
         order = 0
 
-    lst = data.tolist() if isinstance(data, np.ndarray) else list(data)
     if do_ext:
         body = bz2.compress(bytes(data), 9)
-    elif do_rle:
-        body = _enc_rle(lst, order == 1)
+    elif _USE_NATIVE:
+        body = _native.arith_enc(data, order == 1, bool(do_rle))
+        if body is None:
+            raise ValueError("arith encode failed")
     else:
-        body = _enc_o1(lst) if order == 1 else _enc_o0(lst)
+        lst = data.tolist() if isinstance(data, np.ndarray) else list(data)
+        if do_rle:
+            body = _enc_rle(lst, order == 1)
+        else:
+            body = _enc_o1(lst) if order == 1 else _enc_o0(lst)
 
     if len(body) >= in_size:
         out[0] = (out[0] & ~(3 | X_EXT) & 0xFF) | X_CAT | no_size
@@ -361,6 +374,9 @@ def _uncompress_into(buf, out_size: int | None):
             if len(blob) != tmp1_size:
                 return None
             tmp1 = np.frombuffer(blob, dtype=np.uint8)
+        elif _USE_NATIVE:
+            tmp1 = _native.arith_dec(bytes(buf[pos:end]), tmp1_size,
+                                     order == 1, bool(do_rle))
         elif do_rle:
             tmp1 = _dec_rle(buf, pos, end, tmp1_size, order == 1)
         else:

@@ -48,6 +48,37 @@ CTX_SIZE = 1 << CTX_BITS
 QMAX = 256
 INT_MAX = 2**31 - 1
 
+import os as _os
+
+from .. import native as _native
+
+_USE_NATIVE = (
+    _os.environ.get("HTSCODECS_TPU_NATIVE", "1") != "0" and _native.available()
+)
+
+
+def _pack_gp(gp: "GParams"):
+    """Flatten parameter blocks for the native scan kernels."""
+    np_ = np
+    P = len(gp.p)
+    pm_ints = np_.zeros((P, 12), np_.uint32)
+    qmaps = np_.zeros((P, 256), np_.uint32)
+    qtabs = np_.zeros((P, 256), np_.uint32)
+    ptabs = np_.zeros((P, 1024), np_.uint32)
+    dtabs = np_.zeros((P, 256), np_.uint32)
+    for k, pm in enumerate(gp.p):
+        pm_ints[k] = [
+            pm.context, pm.pflags, pm.qbits, pm.qshift, pm.qloc, pm.sloc,
+            pm.ploc, pm.dloc, pm.max_sym, 1 if pm.fixed_len else 0,
+            1 if pm.do_sel else 0, 1 if pm.do_dedup else 0,
+        ]
+        qmaps[k] = np_.asarray(pm.qmap, np_.int64).astype(np_.uint32)
+        qtabs[k] = np_.asarray(pm.qtab, np_.uint32)
+        ptabs[k] = np_.asarray([v << pm.ploc for v in pm.ptab], np_.uint32)
+        dtabs[k] = np_.asarray([v << pm.dloc for v in pm.dtab], np_.uint32)
+    stab = np_.asarray(gp.stab, np_.int64).astype(np_.uint8)
+    return pm_ints, qmaps, qtabs, ptabs, dtabs, stab
+
 STRAT_OPTS = [
     #  qb qs pb  ps db ds ql sl  pl  dl  r2 qa
     [10, 5, 4, -1, 2, 1, 0, 14, 10, 14, 0, -1],  # basic (level < 7)
@@ -787,9 +818,6 @@ def compress(data, lens, flags=None, vers: int = 4, strat: int = 0,
         dtab = [v << pm.dloc for v in pm.dtab]
         shifted.append((ptab, dtab))
 
-    model = _Models(gp)
-    rc = RangeEncoder()
-
     if gp.gflags & GFLAG_DO_REV:
         i = 0
         rec = 0
@@ -799,6 +827,19 @@ def compress(data, lens, flags=None, vers: int = 4, strat: int = 0,
                 data[i:i + ln] = data[i:i + ln][::-1]
             i += ln
             rec += 1
+
+    if _USE_NATIVE:
+        payload = _native.fqz_enc_scan(
+            data, np.asarray(lens, np.uint32), np.asarray(flags, np.uint32),
+            gp, _pack_gp(gp))
+        if payload is not None:
+            if caller_flags is not None:
+                for r in range(len(caller_flags)):
+                    caller_flags[r] &= 0xFFFF
+            return bytes(out) + payload
+
+    model = _Models(gp)
+    rc = RangeEncoder()
 
     state = {"qctx": 0, "p": 0, "delta": 0, "prevq": 0, "s": 0}
     first_len = 1
@@ -882,6 +923,22 @@ def decompress(buf, with_lengths: bool = False):
     total, pos = varint.get_uint(buf, 0, end)
     gp, pos = read_parameters(buf, pos, end)
     if gp is None:
+        raise ValueError("corrupt fqz stream")
+
+    if _USE_NATIVE:
+        r = _native.fqz_dec_scan(bytes(buf[pos:end]), total, gp, _pack_gp(gp))
+        if r is not None:
+            out_arr, rec_lens, rec_revs, nrec = r
+            lengths = [int(v) for v in rec_lens[:nrec]]
+            if gp.gflags & GFLAG_DO_REV:
+                i = 0
+                for rv, ln in zip(rec_revs[:nrec], rec_lens[:nrec]):
+                    ln = int(ln)
+                    if rv:
+                        out_arr[i:i + ln] = out_arr[i:i + ln][::-1]
+                    i += ln
+            data = out_arr.tobytes()
+            return (data, lengths) if with_lengths else data
         raise ValueError("corrupt fqz stream")
 
     shifted = []

@@ -79,6 +79,17 @@ def get_lib():
         _sig(lib.r16_parse_tables_o0, i64, [u8p, i64, u8p, u16p, u16p])
         _sig(lib.r16_parse_tables_o1, i64, [u8p, i64, u8p, u16p, u16p, i32p])
         _sig(lib.r16_gather_params_o1, i64, [u8p, i64, u32p, u32p, u16p, u16p])
+        for nm in ("arith_enc_o0", "arith_enc_o1", "arith_enc_o0_rle",
+                   "arith_enc_o1_rle", "arith_dec_o0", "arith_dec_o1",
+                   "arith_dec_o0_rle", "arith_dec_o1_rle"):
+            _sig(getattr(lib, nm), i64, [u8p, i64, u8p, i64])
+        c_int = ctypes.c_int
+        _sig(lib.fqz_enc, i64,
+             [u8p, i64, u32p, u32p, i64, c_int, c_int, c_int, c_int, u8p,
+              u32p, u32p, u32p, u32p, u32p, u8p, i64])
+        _sig(lib.fqz_dec, i64,
+             [u8p, i64, i64, c_int, c_int, c_int, c_int, u8p,
+              u32p, u32p, u32p, u32p, u32p, u8p, u32p, u8p, i64])
         _lib = lib
     return _lib if _lib is not False else None
 
@@ -125,6 +136,77 @@ def dec_o1(blob, out_sz: int) -> np.ndarray | None:
     out = np.empty(out_sz, dtype=np.uint8)
     r = lib.r16_dec_o1(ap, len(a), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_sz)
     return out if r >= 0 else None
+
+
+def _arith(fn_name: str, data, cap_or_sz: int, is_enc: bool):
+    lib = get_lib()
+    a, ap = _u8(np.frombuffer(bytes(data), dtype=np.uint8)
+                if not isinstance(data, np.ndarray) else data)
+    if is_enc:
+        cap = int(len(a) * 1.1 + 4096)
+        out = np.empty(cap, dtype=np.uint8)
+        r = getattr(lib, fn_name)(ap, len(a),
+                                  out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        return out[:r].tobytes() if r >= 0 else None
+    out = np.empty(cap_or_sz, dtype=np.uint8)
+    r = getattr(lib, fn_name)(ap, len(a),
+                              out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap_or_sz)
+    return out if r >= 0 else None
+
+
+def arith_enc(data, order1: bool, rle: bool) -> bytes | None:
+    nm = f"arith_enc_o{1 if order1 else 0}{'_rle' if rle else ''}"
+    return _arith(nm, data, 0, True)
+
+
+def arith_dec(blob, out_sz: int, order1: bool, rle: bool) -> np.ndarray | None:
+    nm = f"arith_dec_o{1 if order1 else 0}{'_rle' if rle else ''}"
+    return _arith(nm, blob, out_sz, False)
+
+
+def _u32p(a):
+    return np.ascontiguousarray(a, dtype=np.uint32).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_uint32))
+
+
+def fqz_enc_scan(data, lens, flags, gp, packed) -> bytes | None:
+    """Range-coded fqz payload (no varint/params header)."""
+    lib = get_lib()
+    pm_ints, qmaps, qtabs, ptabs, dtabs, stab = packed
+    a, ap = _u8(data)
+    lens32 = np.ascontiguousarray(lens, np.uint32)
+    flags32 = np.ascontiguousarray(flags, np.uint32)
+    cap = int(len(a) * 1.1 + 100000)
+    out = np.empty(cap, np.uint8)
+    r = lib.fqz_enc(
+        ap, len(a), _u32p(lens32), _u32p(flags32), len(lens32),
+        gp.gflags, gp.nparam, gp.max_sel, gp.max_sym,
+        np.ascontiguousarray(stab, np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _u32p(pm_ints), _u32p(qmaps), _u32p(qtabs), _u32p(ptabs), _u32p(dtabs),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    return out[:r].tobytes() if r >= 0 else None
+
+
+def fqz_dec_scan(blob, total, gp, packed):
+    """Returns (out u8 array, rec_lens, rec_revs, nrec) or None."""
+    lib = get_lib()
+    pm_ints, qmaps, qtabs, ptabs, dtabs, stab = packed
+    a, ap = _u8(np.frombuffer(bytes(blob), dtype=np.uint8))
+    out = np.zeros(total, np.uint8)
+    max_rec = total + 1
+    rec_lens = np.zeros(max_rec, np.uint32)
+    rec_revs = np.zeros(max_rec, np.uint8)
+    r = lib.fqz_dec(
+        ap, len(a), total,
+        gp.gflags, gp.nparam, gp.max_sel, gp.max_sym,
+        np.ascontiguousarray(stab, np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _u32p(pm_ints), _u32p(qmaps), _u32p(qtabs), _u32p(ptabs), _u32p(dtabs),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _u32p(rec_lens),
+        rec_revs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), max_rec)
+    if r < 0:
+        return None
+    return out, rec_lens, rec_revs, int(r)
 
 
 def build_tables_o0(data: np.ndarray):

@@ -698,3 +698,515 @@ API int64_t r16_gather_params_o1(const uint8_t *in, int64_t n,
     }
     return w;
 }
+
+/* ================================================================ */
+/* Adaptive range codec (arith_dynamic / fqzcomp hot loops)          */
+/*                                                                   */
+/* Carry-counting byte range coder + adaptive approximately-sorted   */
+/* frequency models (c_range_coder.h / c_simple_model.h semantics,   */
+/* reimplemented with planar runtime-sized models).                  */
+
+typedef struct {
+    uint32_t low, range, code, ffnum, cache, carry;
+    uint8_t *out;
+    int64_t opos, ocap;
+    const uint8_t *in;
+    int64_t ipos, iend;
+    int err;
+} rcoder;
+
+static void rc_enc_init(rcoder *rc, uint8_t *out, int64_t cap) {
+    memset(rc, 0, sizeof *rc);
+    rc->range = 0xFFFFFFFFu;
+    rc->out = out;
+    rc->ocap = cap;
+}
+
+static void rc_shift_low(rcoder *rc) {
+    if (rc->low < 0xFF000000u || rc->carry) {
+        if (rc->opos + 1 + (int64_t)rc->ffnum > rc->ocap) { rc->err = 1; return; }
+        rc->out[rc->opos++] = (uint8_t)(rc->cache + rc->carry);
+        while (rc->ffnum) {
+            rc->out[rc->opos++] = (uint8_t)(rc->carry - 1);
+            rc->ffnum--;
+        }
+        rc->cache = rc->low >> 24;
+        rc->carry = 0;
+    } else {
+        rc->ffnum++;
+    }
+    rc->low <<= 8;
+}
+
+static void rc_encode(rcoder *rc, uint32_t cum, uint32_t freq, uint32_t tot) {
+    uint32_t r = rc->range / tot;
+    uint32_t old = rc->low;
+    rc->range = r;
+    rc->low += cum * r;
+    rc->carry += rc->low < old;
+    rc->range *= freq;
+    while (rc->range < (1u << 24)) {
+        rc->range <<= 8;
+        rc_shift_low(rc);
+    }
+}
+
+static void rc_enc_finish(rcoder *rc) {
+    for (int i = 0; i < 5; i++) rc_shift_low(rc);
+}
+
+static void rc_dec_init(rcoder *rc, const uint8_t *in, int64_t pos,
+                        int64_t end) {
+    memset(rc, 0, sizeof *rc);
+    rc->range = 0xFFFFFFFFu;
+    rc->in = in;
+    rc->ipos = pos;
+    rc->iend = end;
+    if (pos + 5 >= end) { rc->ipos = end; return; }  /* prevent decode */
+    for (int i = 0; i < 5; i++)
+        rc->code = (rc->code << 8) | in[rc->ipos++];
+}
+
+static uint32_t rc_get_freq(rcoder *rc, uint32_t tot) {
+    if (tot && rc->range >= tot) {
+        rc->range /= tot;
+        return rc->code / rc->range;
+    }
+    return 0;
+}
+
+static void rc_decode(rcoder *rc, uint32_t cum, uint32_t freq) {
+    rc->code -= cum * rc->range;
+    rc->range *= freq;
+    while (rc->range < (1u << 24)) {
+        if (rc->ipos >= rc->iend) return;
+        rc->code = (rc->code << 8) | rc->in[rc->ipos++];
+        rc->range <<= 8;
+    }
+}
+
+/* Adaptive model: symbol list approximately sorted by frequency with a
+ * one-step bubble per use; +16 per hit, halving normalisation above
+ * 65519.  The search order is part of the bitstream contract. */
+#define AMODEL_MAXSYM 258
+typedef struct {
+    uint32_t tot;
+    int nsym;
+    uint16_t cnt[AMODEL_MAXSYM];
+    uint16_t sym[AMODEL_MAXSYM];
+} amodel;
+
+static void am_init(amodel *m, int nsym, int max_sym) {
+    m->tot = max_sym;
+    m->nsym = nsym;
+    for (int i = 0; i < nsym; i++) {
+        m->sym[i] = i;
+        m->cnt[i] = i < max_sym ? 1 : 0;
+    }
+}
+
+static void am_renorm(amodel *m) {
+    uint32_t tot = 0;
+    for (int i = 0; i < m->nsym && m->cnt[i]; i++) {
+        m->cnt[i] -= m->cnt[i] >> 1;
+        tot += m->cnt[i];
+    }
+    m->tot = tot;
+}
+
+static void am_encode(amodel *m, rcoder *rc, int symbol) {
+    uint32_t acc = 0;
+    int p = 0;
+    while (m->sym[p] != symbol) acc += m->cnt[p++];
+    rc_encode(rc, acc, m->cnt[p], m->tot);
+    m->cnt[p] += 16;
+    m->tot += 16;
+    if (m->tot > 65519) am_renorm(m);
+    if (p && m->cnt[p] > m->cnt[p - 1]) {
+        uint16_t ts = m->sym[p], tc = m->cnt[p];
+        m->sym[p] = m->sym[p - 1]; m->cnt[p] = m->cnt[p - 1];
+        m->sym[p - 1] = ts; m->cnt[p - 1] = tc;
+    }
+}
+
+static int am_decode(amodel *m, rcoder *rc) {
+    uint32_t f = rc_get_freq(rc, m->tot);
+    if (f > 65519) return 0;
+    uint32_t acc = 0;
+    int p = 0;
+    for (;;) {
+        uint32_t c = p < m->nsym ? m->cnt[p] : (p == m->nsym ? 0 : 65519u);
+        if (acc + c > f) break;
+        acc += c;
+        if (++p > m->nsym + 1) return 0;
+    }
+    if (p > m->nsym) return 0;
+    int symbol = m->sym[p];
+    rc_decode(rc, acc, m->cnt[p]);
+    m->cnt[p] += 16;
+    m->tot += 16;
+    if (m->tot > 65519) am_renorm(m);
+    if (p && m->cnt[p] > m->cnt[p - 1]) {
+        uint16_t ts = m->sym[p], tc = m->cnt[p];
+        m->sym[p] = m->sym[p - 1]; m->cnt[p] = m->cnt[p - 1];
+        m->sym[p - 1] = ts; m->cnt[p - 1] = tc;
+    }
+    return symbol;
+}
+
+/* ---------------------------------------------------------------- */
+/* arith_dynamic entropy payloads: [max_sym byte][range-coded data]  */
+
+static int arith_maxp1(const uint8_t *in, int64_t n) {
+    int m = 0;
+    for (int64_t i = 0; i < n; i++)
+        if (m < in[i]) m = in[i];
+    return m + 1;
+}
+
+API int64_t arith_enc_o0(const uint8_t *in, int64_t n,
+                         uint8_t *out, int64_t cap) {
+    int m = arith_maxp1(in, n);
+    amodel *md = malloc(sizeof *md);
+    if (!md || cap < 1) { free(md); return -1; }
+    am_init(md, 256, m);
+    out[0] = (uint8_t)m;
+    rcoder rc;
+    rc_enc_init(&rc, out + 1, cap - 1);
+    for (int64_t i = 0; i < n; i++) am_encode(md, &rc, in[i]);
+    rc_enc_finish(&rc);
+    free(md);
+    return rc.err ? -1 : rc.opos + 1;
+}
+
+API int64_t arith_dec_o0(const uint8_t *in, int64_t n,
+                         uint8_t *out, int64_t out_sz) {
+    if (n < 1) return -1;
+    int m = in[0] ? in[0] : 256;
+    amodel *md = malloc(sizeof *md);
+    if (!md) return -1;
+    am_init(md, 256, m);
+    rcoder rc;
+    rc_dec_init(&rc, in, 1, n);
+    for (int64_t i = 0; i < out_sz; i++) out[i] = (uint8_t)am_decode(md, &rc);
+    free(md);
+    return out_sz;
+}
+
+API int64_t arith_enc_o1(const uint8_t *in, int64_t n,
+                         uint8_t *out, int64_t cap) {
+    int m = arith_maxp1(in, n);
+    amodel *md = malloc(256 * sizeof *md);
+    if (!md || cap < 1) { free(md); return -1; }
+    for (int i = 0; i < 256; i++) am_init(&md[i], 256, m);
+    out[0] = (uint8_t)m;
+    rcoder rc;
+    rc_enc_init(&rc, out + 1, cap - 1);
+    uint8_t last = 0;
+    for (int64_t i = 0; i < n; i++) {
+        am_encode(&md[last], &rc, in[i]);
+        last = in[i];
+    }
+    rc_enc_finish(&rc);
+    free(md);
+    return rc.err ? -1 : rc.opos + 1;
+}
+
+API int64_t arith_dec_o1(const uint8_t *in, int64_t n,
+                         uint8_t *out, int64_t out_sz) {
+    if (n < 1) return -1;
+    int m = in[0] ? in[0] : 256;
+    amodel *md = malloc(256 * sizeof *md);
+    if (!md) return -1;
+    for (int i = 0; i < 256; i++) am_init(&md[i], 256, m);
+    rcoder rc;
+    rc_dec_init(&rc, in, 1, n);
+    uint8_t last = 0;
+    for (int64_t i = 0; i < out_sz; i++) {
+        last = (uint8_t)am_decode(&md[last], &rc);
+        out[i] = last;
+    }
+    free(md);
+    return out_sz;
+}
+
+/* RLE variants: literal model(s) + 258-symbol run models over an
+ * escalating context chain, MAX_RUN = 4. */
+static int64_t arith_enc_rle(const uint8_t *in, int64_t n,
+                             uint8_t *out, int64_t cap, int order1) {
+    int m = arith_maxp1(in, n);
+    amodel *lit = malloc((order1 ? 256 : 1) * sizeof *lit);
+    amodel *run = malloc(258 * sizeof *run);
+    if (!lit || !run || cap < 1) { free(lit); free(run); return -1; }
+    for (int i = 0; i < (order1 ? 256 : 1); i++) am_init(&lit[i], 256, m);
+    for (int i = 0; i < 258; i++) am_init(&run[i], 258, 4);
+    out[0] = (uint8_t)m;
+    rcoder rc;
+    rc_enc_init(&rc, out + 1, cap - 1);
+    uint8_t last = 0;
+    int64_t i = 0;
+    while (i < n) {
+        uint8_t b = in[i];
+        am_encode(&lit[order1 ? last : 0], &rc, b);
+        int64_t r = 0;
+        last = b;
+        i++;
+        while (i < n && in[i] == last) { r++; i++; }
+        int rctx = last;
+        for (;;) {
+            int c = r < 4 ? (int)r : 3;
+            am_encode(&run[rctx], &rc, c);
+            r -= c;
+            if (rctx == last) rctx = 256;
+            else rctx += rctx < 257;
+            if (c == 3 && r == 0) am_encode(&run[rctx], &rc, 0);
+            if (!r) break;
+        }
+    }
+    rc_enc_finish(&rc);
+    free(lit); free(run);
+    return rc.err ? -1 : rc.opos + 1;
+}
+
+static int64_t arith_dec_rle(const uint8_t *in, int64_t n,
+                             uint8_t *out, int64_t out_sz, int order1) {
+    if (n < 1) return -1;
+    int m = in[0] ? in[0] : 256;
+    amodel *lit = malloc((order1 ? 256 : 1) * sizeof *lit);
+    amodel *run = malloc(258 * sizeof *run);
+    if (!lit || !run) { free(lit); free(run); return -1; }
+    for (int i = 0; i < (order1 ? 256 : 1); i++) am_init(&lit[i], 256, m);
+    for (int i = 0; i < 258; i++) am_init(&run[i], 258, 4);
+    rcoder rc;
+    rc_dec_init(&rc, in, 1, n);
+    uint8_t last = 0;
+    for (int64_t i = 0; i < out_sz; i++) {
+        uint8_t b = (uint8_t)am_decode(&lit[order1 ? last : 0], &rc);
+        out[i] = b;
+        last = b;
+        int64_t r = 0;
+        int rv, rctx = last;
+        do {
+            rv = am_decode(&run[rctx], &rc);
+            if (rctx == last) rctx = 256;
+            else rctx += rctx < 257;
+            r += rv;
+        } while (rv == 3 && r < out_sz);
+        while (r-- && i + 1 < out_sz) out[++i] = last;
+    }
+    free(lit); free(run);
+    return out_sz;
+}
+
+API int64_t arith_enc_o0_rle(const uint8_t *in, int64_t n, uint8_t *out,
+                             int64_t cap) { return arith_enc_rle(in, n, out, cap, 0); }
+API int64_t arith_enc_o1_rle(const uint8_t *in, int64_t n, uint8_t *out,
+                             int64_t cap) { return arith_enc_rle(in, n, out, cap, 1); }
+API int64_t arith_dec_o0_rle(const uint8_t *in, int64_t n, uint8_t *out,
+                             int64_t sz) { return arith_dec_rle(in, n, out, sz, 0); }
+API int64_t arith_dec_o1_rle(const uint8_t *in, int64_t n, uint8_t *out,
+                             int64_t sz) { return arith_dec_rle(in, n, out, sz, 1); }
+
+/* ---------------------------------------------------------------- */
+/* fqzcomp_qual per-byte model scan.                                 */
+/*                                                                   */
+/* The parameter picker / serialisation stay host-Python; this is    */
+/* the range-coded payload loop over 65536 mixed-context adaptive    */
+/* models (quality history, position, delta, selector sub-contexts). */
+
+#define FQZ_PM_WORDS 12
+/* pm_ints layout per param:
+   0 context, 1 pflags, 2 qbits, 3 qshift, 4 qloc, 5 sloc, 6 ploc,
+   7 dloc, 8 max_sym(stored), 9 fixed_len, 10 do_sel, 11 do_dedup */
+
+typedef struct {
+    amodel *qual;      /* 65536 contexts */
+    amodel len[4], revcomp, dup, sel;
+    int has_sel;
+} fqz_models;
+
+static int fqz_models_init(fqz_models *m, int max_sym_p1, int max_sel) {
+    m->qual = malloc((size_t)65536 * sizeof(amodel));
+    if (!m->qual) return -1;
+    for (int i = 0; i < 65536; i++) am_init(&m->qual[i], 256, max_sym_p1);
+    for (int i = 0; i < 4; i++) am_init(&m->len[i], 256, 256);
+    am_init(&m->revcomp, 2, 2);
+    am_init(&m->dup, 2, 2);
+    m->has_sel = max_sel > 0;
+    if (m->has_sel) am_init(&m->sel, 256, max_sel + 1);
+    return 0;
+}
+
+API int64_t fqz_enc(const uint8_t *in, int64_t n,
+                    const uint32_t *lens, const uint32_t *flags,
+                    int64_t nrec,
+                    int gflags, int nparam, int max_sel, int gmax_sym,
+                    const uint8_t *stab,
+                    const uint32_t *pm_ints, const uint32_t *qmaps,
+                    const uint32_t *qtabs, const uint32_t *ptabs,
+                    const uint32_t *dtabs,
+                    uint8_t *out, int64_t cap) {
+    fqz_models md;
+    if (fqz_models_init(&md, gmax_sym + 1, max_sel) < 0) return -1;
+    rcoder rc;
+    rc_enc_init(&rc, out, cap);
+
+    int x = 0;
+    const uint32_t *pm = pm_ints;
+    const uint32_t *qmap = qmaps, *qtab = qtabs, *ptab = ptabs, *dtab = dtabs;
+    uint32_t qctx = 0, p = 0, delta = 0, prevq = 0, sval = 0, ctx = 0;
+    int first_len = 1;
+    int64_t rec = 0, last_len = 0;
+
+    for (int64_t i = 0; i < n && !rc.err; i++) {
+        if (p == 0) {
+            if (rec >= nrec) { free(md.qual); return -1; }
+            if (pm[10] || (gflags & 1)) {
+                sval = flags[rec] >> 16;
+                if (!md.has_sel) { free(md.qual); return -1; }
+                am_encode(&md.sel, &rc, (int)sval);
+            } else {
+                sval = 0;
+            }
+            x = (gflags & 2) ? stab[sval] : (int)sval;
+            if (x >= nparam) { free(md.qual); return -1; }
+            pm = pm_ints + (size_t)x * FQZ_PM_WORDS;
+            qmap = qmaps + (size_t)x * 256;
+            qtab = qtabs + (size_t)x * 256;
+            ptab = ptabs + (size_t)x * 1024;
+            dtab = dtabs + (size_t)x * 256;
+
+            uint32_t len = lens[rec];
+            if (!pm[9] || first_len) {
+                am_encode(&md.len[0], &rc, len & 0xff);
+                am_encode(&md.len[1], &rc, (len >> 8) & 0xff);
+                am_encode(&md.len[2], &rc, (len >> 16) & 0xff);
+                am_encode(&md.len[3], &rc, (len >> 24) & 0xff);
+                first_len = 0;
+            }
+            if (gflags & 4)
+                am_encode(&md.revcomp, &rc, (flags[rec] & 16) ? 1 : 0);
+            rec++;
+            p = len;
+            delta = 0; qctx = 0; prevq = 0;
+            ctx = pm[0];
+
+            if (pm[11]) {
+                if (i && (int64_t)len == last_len &&
+                    !memcmp(in + i - last_len, in + i, len)) {
+                    am_encode(&md.dup, &rc, 1);
+                    i += len - 1;
+                    p = 0;
+                    continue;
+                }
+                am_encode(&md.dup, &rc, 0);
+                last_len = len;
+            }
+        }
+
+        uint32_t qm = qmap[in[i]];
+        am_encode(&md.qual[ctx & 0xffff], &rc, (int)qm);
+
+        qctx = (qctx << pm[3]) + qtab[qm];
+        ctx = ((qctx & ((1u << pm[2]) - 1)) << pm[4])
+            + ptab[p < 1023 ? p : 1023]
+            + dtab[delta < 255 ? delta : 255]
+            + (sval << pm[5]);
+        ctx &= 0xffff;
+        delta += prevq != qm;
+        prevq = qm;
+        p--;
+    }
+    rc_enc_finish(&rc);
+    free(md.qual);
+    return rc.err ? -1 : rc.opos;
+}
+
+API int64_t fqz_dec(const uint8_t *in, int64_t n, int64_t total,
+                    int gflags, int nparam, int max_sel, int gmax_sym,
+                    const uint8_t *stab,
+                    const uint32_t *pm_ints, const uint32_t *qmaps,
+                    const uint32_t *qtabs, const uint32_t *ptabs,
+                    const uint32_t *dtabs,
+                    uint8_t *out, uint32_t *rec_lens, uint8_t *rec_revs,
+                    int64_t max_rec) {
+    fqz_models md;
+    if (fqz_models_init(&md, gmax_sym + 1, max_sel) < 0) return -1;
+    rcoder rc;
+    rc_dec_init(&rc, in, 0, n);
+
+    int x = 0;
+    const uint32_t *pm = pm_ints;
+    const uint32_t *qmap = qmaps, *qtab = qtabs, *ptab = ptabs, *dtab = dtabs;
+    uint32_t qctx = 0, p = 0, delta = 0, prevq = 0, sval = 0, ctx = 0;
+    uint32_t len = 0, last_len = 0;
+    int first_len = 1, rev = 0;
+    int64_t rec = 0;
+
+    for (int64_t i = 0; i < total; i++) {
+        if (p == 0) {
+            if (pm[10]) {
+                if (!md.has_sel) goto fail;
+                sval = (uint32_t)am_decode(&md.sel, &rc);
+            } else {
+                sval = 0;
+            }
+            x = (gflags & 2) ? stab[sval < 255 ? sval : 255] : (int)sval;
+            if (x >= nparam) goto fail;
+            pm = pm_ints + (size_t)x * FQZ_PM_WORDS;
+            qmap = qmaps + (size_t)x * 256;
+            qtab = qtabs + (size_t)x * 256;
+            ptab = ptabs + (size_t)x * 1024;
+            dtab = dtabs + (size_t)x * 256;
+
+            len = last_len;
+            if (!pm[9] || first_len) {
+                len = (uint32_t)am_decode(&md.len[0], &rc);
+                len |= (uint32_t)am_decode(&md.len[1], &rc) << 8;
+                len |= (uint32_t)am_decode(&md.len[2], &rc) << 16;
+                len |= (uint32_t)am_decode(&md.len[3], &rc) << 24;
+                first_len = 0;
+                last_len = len;
+            }
+            if (len > (uint64_t)(total - i) || len == 0) goto fail;
+            if (rec < max_rec) rec_lens[rec] = len;
+
+            if (gflags & 4) {
+                rev = am_decode(&md.revcomp, &rc);
+                if (rec < max_rec) rec_revs[rec] = (uint8_t)rev;
+            }
+
+            if (pm[11]) {
+                if (am_decode(&md.dup, &rc)) {
+                    if ((int64_t)len > i) goto fail;
+                    memcpy(out + i, out + i - len, len);
+                    i += len - 1;
+                    p = 0;
+                    rec++;
+                    continue;
+                }
+            }
+            rec++;
+            p = len;
+            delta = 0; prevq = 0; qctx = 0;
+            ctx = pm[0];
+        }
+
+        uint32_t Q = (uint32_t)am_decode(&md.qual[ctx & 0xffff], &rc);
+        out[i] = (uint8_t)qmap[Q];
+        qctx = (qctx << pm[3]) + qtab[Q];
+        ctx = ((qctx & ((1u << pm[2]) - 1)) << pm[4])
+            + ptab[p < 1023 ? p : 1023]
+            + dtab[delta < 255 ? delta : 255]
+            + (sval << pm[5]);
+        ctx &= 0xffff;
+        delta += prevq != Q;
+        prevq = Q;
+        p--;
+    }
+    free(md.qual);
+    return rec;
+ fail:
+    free(md.qual);
+    return -1;
+}
