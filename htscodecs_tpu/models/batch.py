@@ -16,6 +16,7 @@ produce re-enter this API recursively in future rounds.
 from __future__ import annotations
 
 from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -26,6 +27,16 @@ from ..utils import varint
 # Below this many blocks in a shape group, the host path wins (device
 # dispatch latency + staging dominate tiny batches).
 DEVICE_MIN_GROUP = 16
+
+# Host table construction is native C via ctypes (GIL released), so a
+# thread pool scales it across cores.
+_POOL = ThreadPoolExecutor(max_workers=min(16, (__import__("os").cpu_count() or 4)))
+
+
+def _pmap(fn, items):
+    if len(items) <= 2:
+        return [fn(x) for x in items]
+    return list(_POOL.map(fn, items))
 
 
 def _as_u8(b) -> np.ndarray:
@@ -75,19 +86,22 @@ def _frame(order_byte: int, n: int, body: bytes, data: np.ndarray) -> bytes:
 
 
 def _compress_batch_o0(batch: np.ndarray) -> list[bytes]:
-    from ..ops import rans_jax
+    from ..ops import rans_jax, rans_v2
     B, N = batch.shape
-    hdrs = []
-    starts = np.zeros((B, 256), np.uint32)
-    freqs = np.zeros((B, 256), np.uint32)
-    for b in range(B):
-        r = native.build_tables_o0(batch[b]) if native.available() else None
-        if r is None:
-            return [rans4x16.compress(batch[b], 0) for b in range(B)]
-        h, s, f = r
-        hdrs.append(h)
-        starts[b], freqs[b] = s, f
-    states, words, counts = rans_jax.enc_o0_batch(batch, starts, freqs, 12)
+    if not native.available():
+        return [rans4x16.compress(batch[b], 0) for b in range(B)]
+    res = _pmap(native.build_tables_o0, list(batch))
+    if any(r is None for r in res):
+        return [rans4x16.compress(batch[b], 0) for b in range(B)]
+    hdrs = [r[0] for r in res]
+    starts = np.stack([r[1] for r in res])
+    freqs = np.stack([r[2] for r in res])
+    dense = rans_v2.densify_group_o0(freqs, starts)
+    if dense is not None:
+        alpha, packed, _ = dense
+        states, words, counts = rans_v2.enc_o0_batch(batch, alpha, packed)
+    else:
+        states, words, counts = rans_jax.enc_o0_batch(batch, starts, freqs, 12)
     out = []
     for b in range(B):
         body = hdrs[b] + states[b].astype("<u4").tobytes() + \
@@ -97,23 +111,27 @@ def _compress_batch_o0(batch: np.ndarray) -> list[bytes]:
 
 
 def _compress_batch_o1(batch: np.ndarray) -> list[bytes]:
-    from ..ops import rans_jax
+    from ..ops import rans_jax, rans_v2
     B, N = batch.shape
     if N < 8 or not native.available():
         return [rans4x16.compress(batch[b], 1) for b in range(B)]
-    hdrs = [None] * B
-    starts = np.zeros((B, 256, 256), np.uint32)
-    freqs = np.zeros((B, 256, 256), np.uint32)
-    shifts = np.zeros(B, np.int32)
-    for b in range(B):
-        h, s, f, sh = native.build_tables_o1(batch[b])
-        hdrs[b], starts[b], freqs[b], shifts[b] = h, s, f, sh
+    res = _pmap(native.build_tables_o1, list(batch))
+    hdrs = [r[0] for r in res]
+    shifts = np.array([r[3] for r in res], np.int32)
     out: list[bytes | None] = [None] * B
     for shift in np.unique(shifts):
         sel = np.flatnonzero(shifts == shift)
         sub = batch[sel]
-        states, words, counts = rans_jax.enc_o1_batch(
-            sub, starts[sel], freqs[sel], int(shift))
+        dense = rans_v2.densify_builds((res[b][2], res[b][1]) for b in sel)
+        if dense is not None:
+            alpha, packed, _ = dense
+            states, words, counts = rans_v2.enc_o1_batch(
+                sub, alpha, packed, int(shift))
+        else:
+            starts = np.stack([res[b][1] for b in sel])
+            freqs = np.stack([res[b][2] for b in sel])
+            states, words, counts = rans_jax.enc_o1_batch(
+                sub, starts, freqs, int(shift))
         for k, b in enumerate(sel):
             body = hdrs[b] + states[k].astype("<u4").tobytes() + \
                 words[k, :counts[k]].astype("<u2").tobytes()
@@ -152,7 +170,7 @@ def uncompress_blocks(streams, out_sizes=None, engine: str = "auto") -> list[byt
             off, ssym, sfreq, sbase = r
             groups[(0, osz)].append((i, s, pos + off, ssym, sfreq, sbase))
 
-    from ..ops import rans_jax
+    from ..ops import rans_jax, rans_v2
     for key, items in groups.items():
         if engine != "device" and len(items) < DEVICE_MIN_GROUP:
             for it in items:
@@ -170,15 +188,37 @@ def uncompress_blocks(streams, out_sizes=None, engine: str = "auto") -> list[byt
             words[k, :len(w)] = w
         if order == 1:
             shift = key[2]
-            sfb = np.stack([t[3] for t in items])
             f2d = np.stack([t[4] for t in items])
             b2d = np.stack([t[5] for t in items])
-            dec = rans_jax.dec_o1_batch(states, words, osz, sfb, f2d, b2d, shift)
+            dense = rans_v2.densify_group(f2d, b2d)
+            if dense is not None:
+                alpha, packed, _ = dense
+                dec = rans_v2.dec_o1_batch(states, words, osz, alpha,
+                                           packed, shift)
+            else:
+                sfb = np.stack([t[3] for t in items])
+                dec = rans_jax.dec_o1_batch(states, words, osz, sfb, f2d,
+                                            b2d, shift)
         else:
-            ssym = np.stack([t[3] for t in items])
-            sfreq = np.stack([t[4] for t in items])
-            sbase = np.stack([t[5] for t in items])
-            dec = rans_jax.dec_o0_batch(states, words, osz, ssym, sfreq, sbase, 12)
+            # per-slot LUTs -> per-symbol tables: sbase[m] = m - start
+            frs = np.zeros((B, 256), np.uint32)
+            sts = np.zeros((B, 256), np.uint32)
+            tot = items[0][4].shape[0]
+            slot = np.arange(tot, dtype=np.uint32)
+            for k, t in enumerate(items):
+                sym = t[3].astype(np.int64)
+                frs[k, sym] = t[4]
+                sts[k, sym] = slot - t[5]
+            dense = rans_v2.densify_group_o0(frs, sts)
+            if dense is not None:
+                alpha, packed, _ = dense
+                dec = rans_v2.dec_o0_batch(states, words, osz, alpha, packed)
+            else:
+                ssym = np.stack([t[3] for t in items])
+                sfreq = np.stack([t[4] for t in items])
+                sbase = np.stack([t[5] for t in items])
+                dec = rans_jax.dec_o0_batch(states, words, osz, ssym,
+                                            sfreq, sbase, 12)
         for k, it in enumerate(items):
             out[it[0]] = dec[k].tobytes()
 

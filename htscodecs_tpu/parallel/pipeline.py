@@ -99,6 +99,85 @@ def roundtrip_o1(st_p, fr_p, va_p, f2d, b2d, ref_syms, shift: int, K: int,
     return mism, comp_bytes
 
 
+@functools.partial(jax.jit, static_argnames=("shift", "N"))
+def roundtrip_o1_v2(blocks, alpha, packed, shift: int, N: int):
+    """v2 flagship step: dense-alphabet encode -> chunkify -> decode ->
+    on-device verify, one jit.  blocks (B,N) u8, alpha (B,A) u8,
+    packed (B,A,A) i32.  Returns (mismatches, compressed bytes)."""
+    from ..ops import rans_v2
+    B = blocks.shape[0]
+    states, words, n = rans_v2._enc_scan_v2(blocks, alpha, packed, shift, 1)
+    cap = words.shape[1]
+    NC = max(-(-cap // rans_v2.CHUNK), 2)
+    padded = jnp.zeros((B, NC * rans_v2.CHUNK), jnp.uint32)
+    padded = padded.at[:, :cap].set(words.astype(jnp.uint32))
+    chunks = padded.reshape(B * NC, rans_v2.CHUNK)
+    q = N >> 2
+    K = q + (N - 4 * q)
+    out = rans_v2._dec_v2_to_bytes(states, chunks, packed, alpha,
+                                   shift, K, q, N, 1)
+    mism = jnp.sum(out != blocks)
+    comp_bytes = 16 * B + 2 * jnp.sum(n)
+    return mism, comp_bytes
+
+
+def sharded_roundtrip_o1_v2(mesh: Mesh, blocks, alpha, packed, shift: int,
+                            N: int):
+    """roundtrip_o1_v2 under shard_map over the mesh's data axis:
+    every per-block array is local to its shard (the codec has no
+    cross-block dataflow), and only the scalar verdicts reduce."""
+    axis = mesh.axis_names[0]
+
+    def local(blocks, alpha, packed):
+        mism, nbytes = roundtrip_o1_v2(blocks, alpha, packed, shift, N)
+        return (lax.psum(mism, axis), lax.psum(nbytes, axis))
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        # scan carries are initialised from constants (unvarying);
+        # skip the varying-manual-axes check rather than pcast each.
+        check_vma=False,
+    )
+    return fn(blocks, alpha, packed)
+
+
+def build_o1_tables_dense(blocks: np.ndarray, threads: bool = True):
+    """Per-block order-1 dense tables via the native kernels (thread
+    pool: ctypes releases the GIL).  Returns (alpha, packed, shift,
+    headers) or None if unavailable / alphabet too wide / mixed shift."""
+    from .. import native
+    from ..ops import rans_v2
+    if not native.available():
+        return None
+    import os
+
+    def one(b):
+        """Build + immediately extract the dense sub-table so the full
+        (256,256) arrays are short-lived (2 GB held otherwise at B=4k)."""
+        h, s, f, sh = native.build_tables_o1(b)
+        d = rans_v2.extract_dense(f, s)
+        return h, d, sh
+
+    if threads and len(blocks) > 2 and (os.cpu_count() or 1) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(16, os.cpu_count() or 4)) as pool:
+            res = list(pool.map(one, list(blocks)))
+    else:
+        res = [one(b) for b in blocks]
+    shifts = np.array([r[2] for r in res], np.int32)
+    if not (shifts == shifts[0]).all():
+        return None
+    if any(r[1] is None for r in res):
+        return None
+    dense = rans_v2.densify_builds(r[1] for r in res)
+    if dense is None:
+        return None
+    alpha, packed, _ = dense
+    return alpha, packed, int(shifts[0]), [r[0] for r in res]
+
+
 def build_o1_tables(blocks: np.ndarray):
     """Per-block order-1 table construction (native kernels when
     available, Python oracle otherwise).  Returns (start2d, freq2d,

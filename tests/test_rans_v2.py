@@ -1,0 +1,161 @@
+"""Dense-alphabet (v2) batched engine conformance.
+
+The v2 engines (ops/rans_v2.py) must be byte-identical to the host
+oracle (models/rans4x16.py, itself golden-tested against the C
+reference) on both encode and decode, across alphabet sizes, block
+lengths (incl. non-multiple-of-4 tails), shifts, and run structures.
+"""
+
+import numpy as np
+import pytest
+
+from htscodecs_tpu import native
+from htscodecs_tpu.models import rans4x16
+from htscodecs_tpu.ops import rans_v2
+from htscodecs_tpu.utils import varint
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native host kernels unavailable")
+
+rng = np.random.default_rng(7)
+
+
+def mkdata(n, a, runs):
+    if runs:
+        vals = rng.choice(a, size=max(n // 4, 1))
+        lens = rng.geometric(0.3, size=max(n // 4, 1)).clip(1, 50)
+        seq = np.repeat(vals, lens)[:n]
+        if len(seq) < n:
+            seq = np.pad(seq, (0, n - len(seq)))
+        return (seq + 33).astype(np.uint8)
+    return (rng.integers(0, a, n) + 33).astype(np.uint8)
+
+
+def _o1_group(blocks):
+    B, N = blocks.shape
+    hdrs, shs = [], np.zeros(B, np.int32)
+    sts = np.zeros((B, 256, 256), np.uint32)
+    frs = np.zeros_like(sts)
+    for b in range(B):
+        h, s, f, sh = native.build_tables_o1(blocks[b])
+        hdrs.append(h)
+        sts[b], frs[b], shs[b] = s, f, sh
+    return hdrs, sts, frs, shs
+
+
+@pytest.mark.parametrize("n", [64, 101, 1023, 4096])
+@pytest.mark.parametrize("a", [2, 9, 40])
+@pytest.mark.parametrize("runs", [False, True])
+def test_o1_encode_matches_oracle(n, a, runs):
+    B = 4
+    blocks = np.stack([mkdata(n, a, runs) for _ in range(B)])
+    ref = [rans4x16.compress(blocks[b], 1) for b in range(B)]
+    hdrs, sts, frs, shs = _o1_group(blocks)
+    for shift in np.unique(shs):
+        sel = np.flatnonzero(shs == shift)
+        r = rans_v2.densify_group(frs[sel].astype(np.uint16),
+                                  sts[sel].astype(np.uint16))
+        assert r is not None
+        alpha, packed, _ = r
+        states, words, counts = rans_v2.enc_o1_batch(
+            blocks[sel], alpha, packed, int(shift))
+        for k, b in enumerate(sel):
+            head = bytearray([1])
+            varint.put_uint(head, n)
+            body = (hdrs[b] + states[k].astype("<u4").tobytes()
+                    + words[k, :counts[k]].astype("<u2").tobytes())
+            if len(body) >= n:       # oracle falls back to CAT
+                continue
+            assert bytes(head) + body == ref[b]
+
+
+@pytest.mark.parametrize("n", [64, 101, 1023, 4096])
+@pytest.mark.parametrize("a", [2, 9, 40])
+def test_o1_decode_matches_oracle(n, a):
+    B = 4
+    blocks = np.stack([mkdata(n, a, True) for _ in range(B)])
+    ref = [rans4x16.compress(blocks[b], 1) for b in range(B)]
+    if any(s[0] != 1 for s in ref):
+        pytest.skip("CAT fallback stream")
+    parsed = []
+    for s in ref:
+        osz, pos = varint.get_uint(s, 1, len(s))
+        off, _sfb, f2d, b2d, sh = native.parse_tables_o1(s[pos:])
+        parsed.append((s, pos + off, f2d, b2d, sh))
+    shift = parsed[0][4]
+    assert all(p[4] == shift for p in parsed)
+    Wmax = max((len(s) - o - 16) // 2 for s, o, *_ in parsed)
+    X = np.zeros((B, 4), np.uint32)
+    wbuf = np.zeros((B, max(Wmax, 1)), "<u2")
+    for b, (s, o, *_t) in enumerate(parsed):
+        X[b] = np.frombuffer(s[o:o + 16], "<u4")
+        w = np.frombuffer(s[o + 16:o + 16 + 2 * ((len(s) - o - 16) // 2)],
+                          "<u2")
+        wbuf[b, :len(w)] = w
+    alpha, packed, _ = rans_v2.densify_group(
+        np.stack([p[2] for p in parsed]), np.stack([p[3] for p in parsed]))
+    dec = rans_v2.dec_o1_batch(X, wbuf, n, alpha, packed, shift)
+    assert np.array_equal(dec, blocks)
+
+
+@pytest.mark.parametrize("n", [64, 103, 1024, 4097])
+@pytest.mark.parametrize("a", [2, 17, 60])
+def test_o0_roundtrip_matches_oracle(n, a):
+    B = 4
+    blocks = np.stack([mkdata(n, a, False) for _ in range(B)])
+    ref = [rans4x16.compress(blocks[b], 0) for b in range(B)]
+    if any(s[0] != 0 for s in ref):
+        pytest.skip("CAT fallback stream")
+    hdrs = []
+    sts = np.zeros((B, 256), np.uint32)
+    frs = np.zeros((B, 256), np.uint32)
+    for b in range(B):
+        h, s, f = native.build_tables_o0(blocks[b])
+        hdrs.append(h)
+        sts[b], frs[b] = s, f
+    r = rans_v2.densify_group_o0(frs, sts)
+    assert r is not None
+    alpha, packed, _ = r
+    states, words, counts = rans_v2.enc_o0_batch(blocks, alpha, packed)
+    for b in range(B):
+        head = bytearray([0])
+        varint.put_uint(head, n)
+        body = (hdrs[b] + states[b].astype("<u4").tobytes()
+                + words[b, :counts[b]].astype("<u2").tobytes())
+        if len(body) >= n:
+            continue
+        assert bytes(head) + body == ref[b]
+    # decode side from the reference streams
+    parsed = []
+    for s in ref:
+        osz, pos = varint.get_uint(s, 1, len(s))
+        off, ssym, sfreq, sbase = native.parse_tables_o0(s[pos:])
+        parsed.append((s, pos + off, sfreq, sbase))
+    # rebuild per-symbol tables from the slot LUTs: sbase[m] is the
+    # in-symbol offset m - start, so start = m - sbase[m] (any slot)
+    frs2 = np.zeros((B, 256), np.uint32)
+    sts2 = np.zeros((B, 256), np.uint32)
+    for b, s in enumerate(ref):
+        osz, pos = varint.get_uint(s, 1, len(s))
+        off, ssym, sfreq, sbase = native.parse_tables_o0(s[pos:])
+        sym = ssym.astype(np.int64)
+        frs2[b, sym] = sfreq
+        sts2[b, sym] = np.arange(len(ssym), dtype=np.uint32) - sbase
+    alpha2, packed2, _ = rans_v2.densify_group_o0(frs2, sts2)
+    Wmax = max((len(s) - o - 16) // 2 for s, o, *_ in parsed)
+    X = np.zeros((B, 4), np.uint32)
+    wbuf = np.zeros((B, max(Wmax, 1)), "<u2")
+    for b, (s, o, *_t) in enumerate(parsed):
+        X[b] = np.frombuffer(s[o:o + 16], "<u4")
+        w = np.frombuffer(s[o + 16:o + 16 + 2 * ((len(s) - o - 16) // 2)],
+                          "<u2")
+        wbuf[b, :len(w)] = w
+    dec = rans_v2.dec_o0_batch(X, wbuf, n, alpha2, packed2)
+    assert np.array_equal(dec, blocks)
+
+
+def test_wide_alphabet_rejected():
+    blocks = np.stack([np.arange(256, dtype=np.uint8)] * 2)
+    _h, sts, frs, _sh = _o1_group(blocks)
+    assert rans_v2.densify_group(frs.astype(np.uint16),
+                                 sts.astype(np.uint16)) is None
