@@ -33,7 +33,7 @@ import time
 import numpy as np
 
 BASELINE_AGG_MBPS = 200.0
-B = 4096
+B = 8192
 G = 8
 N = 65536
 REPS = 3
@@ -85,11 +85,12 @@ def main():
     jp = jnp.asarray(packed)
 
     # ---- encode ----
-    st_d, w_d, n_d = rans_v2._enc_scan_v2(jb, ja, jp, shift, 1)
+    st_d, w_d, n_d, ovf = rans_v2._enc_scan_v2(jb, ja, jp, shift, 1)
     np.asarray(jnp.sum(n_d))
+    assert not bool(np.asarray(ovf)), "compaction overflow on bench data"
     t0 = time.time()
     for _ in range(REPS):
-        st_d, w_d, n_d = rans_v2._enc_scan_v2(jb, ja, jp, shift, 1)
+        st_d, w_d, n_d, ovf = rans_v2._enc_scan_v2(jb, ja, jp, shift, 1)
     np.asarray(jnp.sum(n_d))
     t_enc_dev = (time.time() - t0) / REPS
 
@@ -132,7 +133,7 @@ def main():
     t0 = time.time()
     PARSE_REPS = 256
     for _ in range(PARSE_REPS):
-        native.parse_tables_o1(ref[pos:])
+        native.parse_tables_o1_dense(ref[pos:])
     t_parse = (time.time() - t0) / PARSE_REPS * B
 
     t_enc = t_tables + t_enc_dev

@@ -115,23 +115,34 @@ def _compress_batch_o1(batch: np.ndarray) -> list[bytes]:
     B, N = batch.shape
     if N < 8 or not native.available():
         return [rans4x16.compress(batch[b], 1) for b in range(B)]
-    res = _pmap(native.build_tables_o1, list(batch))
+    res = _pmap(native.build_tables_o1_dense, list(batch))
+    if any(r is None for r in res):
+        # wide alphabet somewhere: rebuild sparse, use the v1 engines
+        res_s = _pmap(native.build_tables_o1, list(batch))
+        hdrs = [r[0] for r in res_s]
+        shifts = np.array([r[3] for r in res_s], np.int32)
+        out: list[bytes | None] = [None] * B
+        for shift in np.unique(shifts):
+            sel = np.flatnonzero(shifts == shift)
+            starts = np.stack([res_s[b][1] for b in sel])
+            freqs = np.stack([res_s[b][2] for b in sel])
+            states, words, counts = rans_jax.enc_o1_batch(
+                batch[sel], starts, freqs, int(shift))
+            for k, b in enumerate(sel):
+                body = hdrs[b] + states[k].astype("<u4").tobytes() + \
+                    words[k, :counts[k]].astype("<u2").tobytes()
+                out[b] = _frame(1, N, body, batch[b])
+        return out  # type: ignore[return-value]
     hdrs = [r[0] for r in res]
     shifts = np.array([r[3] for r in res], np.int32)
-    out: list[bytes | None] = [None] * B
+    out = [None] * B
     for shift in np.unique(shifts):
         sel = np.flatnonzero(shifts == shift)
         sub = batch[sel]
-        dense = rans_v2.densify_builds((res[b][2], res[b][1]) for b in sel)
-        if dense is not None:
-            alpha, packed, _ = dense
-            states, words, counts = rans_v2.enc_o1_batch(
-                sub, alpha, packed, int(shift))
-        else:
-            starts = np.stack([res[b][1] for b in sel])
-            freqs = np.stack([res[b][2] for b in sel])
-            states, words, counts = rans_jax.enc_o1_batch(
-                sub, starts, freqs, int(shift))
+        alpha, packed, _ = rans_v2.densify_builds(
+            (res[b][1], res[b][2]) for b in sel)
+        states, words, counts = rans_v2.enc_o1_batch(
+            sub, alpha, packed, int(shift))
         for k, b in enumerate(sel):
             body = hdrs[b] + states[k].astype("<u4").tobytes() + \
                 words[k, :counts[k]].astype("<u2").tobytes()
@@ -158,11 +169,18 @@ def uncompress_blocks(streams, out_sizes=None, engine: str = "auto") -> list[byt
         osz, pos = varint.get_uint(s, 1, len(s))
         order = flags & 1
         if order == 1:
-            r = native.parse_tables_o1(s[pos:])
-            if r is None:
-                raise ValueError("corrupt rans4x16 stream")
-            off, sfb, f2d, b2d, shift = r
-            groups[(1, osz, shift)].append((i, s, pos + off, sfb, f2d, b2d))
+            r = native.parse_tables_o1_dense(s[pos:])
+            if r is not None:
+                off, alpha, packed, shift = r
+                groups[(1, osz, shift)].append(
+                    (i, s, pos + off, alpha, packed))
+            else:
+                r = native.parse_tables_o1(s[pos:])
+                if r is None:
+                    raise ValueError("corrupt rans4x16 stream")
+                off, sfb, f2d, b2d, shift = r
+                groups[(1, osz, shift, "sparse")].append(
+                    (i, s, pos + off, sfb, f2d, b2d))
         else:
             r = native.parse_tables_o0(s[pos:])
             if r is None:
@@ -188,15 +206,15 @@ def uncompress_blocks(streams, out_sizes=None, engine: str = "auto") -> list[byt
             words[k, :len(w)] = w
         if order == 1:
             shift = key[2]
-            f2d = np.stack([t[4] for t in items])
-            b2d = np.stack([t[5] for t in items])
-            dense = rans_v2.densify_group(f2d, b2d)
-            if dense is not None:
-                alpha, packed, _ = dense
+            if len(key) == 3:     # dense-parsed group
+                alpha, packed, _ = rans_v2.densify_builds(
+                    (t[3], t[4]) for t in items)
                 dec = rans_v2.dec_o1_batch(states, words, osz, alpha,
                                            packed, shift)
-            else:
+            else:                  # sparse fallback (alphabet > 96)
                 sfb = np.stack([t[3] for t in items])
+                f2d = np.stack([t[4] for t in items])
+                b2d = np.stack([t[5] for t in items])
                 dec = rans_jax.dec_o1_batch(states, words, osz, sfb, f2d,
                                             b2d, shift)
         else:

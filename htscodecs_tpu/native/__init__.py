@@ -78,6 +78,10 @@ def get_lib():
         _sig(lib.r16_build_tables_o1, i64, [u8p, i64, u8p, i64, u32p, u32p, i32p])
         _sig(lib.r16_parse_tables_o0, i64, [u8p, i64, u8p, u16p, u16p])
         _sig(lib.r16_parse_tables_o1, i64, [u8p, i64, u8p, u16p, u16p, i32p])
+        _sig(lib.r16_build_tables_o1_dense, i64,
+             [u8p, i64, u8p, i64, u8p, i32p, ctypes.c_int32, i32p, i32p])
+        _sig(lib.r16_parse_tables_o1_dense, i64,
+             [u8p, i64, u8p, i32p, ctypes.c_int32, i32p, i32p])
         _sig(lib.r16_gather_params_o1, i64, [u8p, i64, u32p, u32p, u16p, u16p])
         for nm in ("arith_enc_o0", "arith_enc_o1", "arith_enc_o0_rle",
                    "arith_enc_o1_rle", "arith_dec_o0", "arith_dec_o1",
@@ -241,6 +245,52 @@ def build_tables_o1(data: np.ndarray):
     if hl < 0:
         return None
     return hdr[:hl].tobytes(), st, fr, int(sh.value)
+
+
+def build_tables_o1_dense(data: np.ndarray, max_a: int = 96):
+    """Dense order-1 table build for the v2 engines.
+
+    Returns (header bytes, alpha (a,) u8, packed (a,a) i32, shift) or
+    None (error / alphabet wider than max_a -> caller falls back)."""
+    lib = get_lib()
+    a, ap = _u8(data)
+    hdr = np.empty(257 * 257 * 3 + 64, dtype=np.uint8)
+    alpha = np.empty(max_a, dtype=np.uint8)
+    packed = np.empty(max_a * max_a, dtype=np.int32)
+    na = ctypes.c_int32(0)
+    sh = ctypes.c_int32(0)
+    hl = lib.r16_build_tables_o1_dense(
+        ap, len(a), hdr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(hdr), alpha.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_a, ctypes.byref(na), ctypes.byref(sh))
+    if hl < 0:
+        return None
+    n = na.value
+    return (hdr[:hl].tobytes(), alpha[:n].copy(),
+            packed[:n * n].reshape(n, n).copy(), int(sh.value))
+
+
+def parse_tables_o1_dense(blob, max_a: int = 96):
+    """Dense order-1 table parse for the v2 decoder.
+
+    Returns (payload offset, alpha (a,) u8, packed (a,a) i32, shift)
+    or None."""
+    lib = get_lib()
+    a, ap = _u8(np.frombuffer(bytes(blob), dtype=np.uint8))
+    alpha = np.empty(max_a, dtype=np.uint8)
+    packed = np.empty(max_a * max_a, dtype=np.int32)
+    na = ctypes.c_int32(0)
+    sh = ctypes.c_int32(0)
+    off = lib.r16_parse_tables_o1_dense(
+        ap, len(a), alpha.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_a, ctypes.byref(na), ctypes.byref(sh))
+    if off < 0:
+        return None
+    n = na.value
+    return (int(off), alpha[:n].copy(),
+            packed[:n * n].reshape(n, n).copy(), int(sh.value))
 
 
 def parse_tables_o0(blob):

@@ -471,6 +471,114 @@ API int64_t r16_build_tables_o1(const uint8_t *in, int64_t n,
     return hl;
 }
 
+/* Dense-output variant for the TPU v2 engines: writes the block's
+ * sorted alphabet and an (a x a) packed (base << 13 | freq) table
+ * directly, skipping the 512 KB sparse (256x256) outputs and the
+ * caller-side extraction.  Histogram is 2-way unrolled into two
+ * accumulator tables (the bit-exact analogue of the reference's
+ * hist1_4, htscodecs/utils.h:137-202).
+ * Returns header length; -2 if the alphabet exceeds max_a. */
+API int64_t r16_build_tables_o1_dense(const uint8_t *in, int64_t n,
+                                      uint8_t *hdr, int64_t hdr_cap,
+                                      uint8_t *alpha_out, int32_t *packed_out,
+                                      int32_t max_a, int32_t *a_out,
+                                      int32_t *shift_out) {
+    if (n < 1) return -1;
+    uint32_t (*F0)[256] = calloc(256, sizeof(*F0));
+    uint32_t (*F1)[256] = calloc(256, sizeof(*F1));
+    uint32_t T[256], A[256], S[256];
+    if (!F0 || !F1) { free(F0); free(F1); return -1; }
+    memset(T, 0, sizeof T);
+    memset(A, 0, sizeof A);
+    memset(S, 0, sizeof S);
+
+    /* order-1 histogram, initial context 0; two tables break the
+     * store-to-load dependency chain */
+    {
+        int64_t i = 1;
+        F0[0][in[0]]++;
+        A[in[0]] = 1;
+        for (; i + 1 < n; i += 2) {
+            F0[in[i - 1]][in[i]]++;
+            F1[in[i]][in[i + 1]]++;
+            A[in[i]] = 1;
+            A[in[i + 1]] = 1;
+        }
+        for (; i < n; i++) {
+            F0[in[i - 1]][in[i]]++;
+            A[in[i]] = 1;
+        }
+    }
+    A[0] = 1;
+    int a = 0;
+    for (int i = 0; i < 256; i++) a += A[i];
+    if (a > max_a) { free(F0); free(F1); return -2; }
+    *a_out = a;
+
+    /* merge + row totals over alphabet rows only */
+    for (int i = 0; i < 256; i++) {
+        if (!A[i]) continue;
+        uint32_t t = 0;
+        for (int j = 0; j < 256; j++) {
+            F0[i][j] += F1[i][j];
+            t += F0[i][j];
+        }
+        T[i] = t;
+    }
+    free(F1);
+    int64_t q = n >> 2;
+    F0[0][in[q]]++; F0[0][in[2 * q]]++; F0[0][in[3 * q]]++;
+    T[0] += 3;
+
+    int hl = 1;
+    hl += put_alphabet(hdr + hl, A);
+    int shift = pick_shift(A, F0, T, S);
+    *shift_out = shift;
+
+    int ai = 0;
+    for (int i = 0; i < 256; i++) {
+        if (!A[i]) continue;
+        alpha_out[ai] = (uint8_t)i;
+        uint32_t cap = S[i];
+        if (shift == 10 && cap > 1024) cap = 1024;
+        if (norm_freq(F0[i], T[i], cap) < 0) { free(F0); return -1; }
+        hl += put_freq_row(hdr + hl, A, F0[i]);
+        norm_shift(F0[i], cap, 1u << shift);
+        uint32_t x = 0;
+        int aj = 0;
+        int32_t *row = packed_out + (int64_t)ai * a;
+        for (int j = 0; j < 256; j++) {
+            if (!A[j]) continue;
+            row[aj++] = (int32_t)((x << 13) | F0[i][j]);
+            x += F0[i][j];
+        }
+        ai++;
+    }
+    free(F0);
+
+    hdr[0] = shift << 4;
+    if (hl > 1000) {
+        int64_t u_sz = hl - 1;
+        uint8_t *cbuf = malloc(u_sz + 1024);
+        if (cbuf) {
+            int64_t c_sz = r16_enc_o0(hdr + 1, u_sz, cbuf, u_sz + 1024);
+            if (c_sz > 0 && c_sz + 6 < hl) {
+                uint8_t tmp[16];
+                int m = 0;
+                tmp[m++] = hdr[0] | 1;
+                m += vput(tmp + m, (uint32_t)u_sz);
+                m += vput(tmp + m, (uint32_t)c_sz);
+                memcpy(hdr, tmp, m);
+                memcpy(hdr + m, cbuf, c_sz);
+                hl = m + c_sz;
+            }
+            free(cbuf);
+        }
+    }
+    if (hl > hdr_cap) return -1;
+    return hl;
+}
+
 API int64_t r16_enc_o1(const uint8_t *in, int64_t n,
                        uint8_t *out, int64_t cap) {
     if (n < 4) return -1;
@@ -598,6 +706,85 @@ API int64_t r16_parse_tables_o1(const uint8_t *in, int64_t n,
             memset(sfb + ((size_t)i << shift) + x, j, F[j]);
             f2d[i * 256 + j] = F[j];
             b2d[i * 256 + j] = x;
+            x += F[j];
+        }
+        if (x != tot) { free(ubuf); return -1; }
+    }
+
+    int64_t off;
+    if (packed) {
+        off = resume - in;
+        free(ubuf);
+    } else {
+        off = tp - in;
+    }
+    return off;
+}
+
+/* Dense parse for the TPU v2 decoder: the stored alphabet plus an
+ * (a x a) packed (base << 13 | freq) table, no 4096-slot LUT and no
+ * sparse (256x256) outputs.  Returns payload offset; -2 if the
+ * alphabet exceeds max_a. */
+API int64_t r16_parse_tables_o1_dense(const uint8_t *in, int64_t n,
+                                      uint8_t *alpha_out, int32_t *packed_out,
+                                      int32_t max_a, int32_t *a_out,
+                                      int32_t *shift_out) {
+    if (n < 16) return -1;
+    const uint8_t *p = in, *end = in + n;
+    int shift = *p >> 4;
+    int packed = *p & 1;
+    p++;
+    if (shift != 10 && shift != 12) return -1;
+    *shift_out = shift;
+    uint32_t tot = 1u << shift;
+
+    const uint8_t *tp = p, *tend = end;
+    uint8_t *ubuf = NULL;
+    const uint8_t *resume = NULL;
+    if (packed) {
+        uint32_t u_sz, c_sz;
+        p += vget(p, end, &u_sz);
+        p += vget(p, end, &c_sz);
+        if ((int64_t)c_sz >= end - p - 16) return -1;
+        ubuf = malloc(u_sz);
+        if (!ubuf) return -1;
+        if (r16_dec_o0(p, c_sz, ubuf, u_sz) < 0) { free(ubuf); return -1; }
+        resume = p + c_sz;
+        tp = ubuf;
+        tend = ubuf + u_sz;
+    }
+
+    uint32_t A[256];
+    int al = get_alphabet(tp, tend, A);
+    if (al <= 0 || tp + al >= tend) { free(ubuf); return -1; }
+    tp += al;
+
+    int aidx[256], a = 0;
+    for (int i = 0; i < 256; i++)
+        aidx[i] = A[i] ? a++ : -1;
+    if (a > max_a) { free(ubuf); return -2; }
+    *a_out = a;
+    memset(packed_out, 0, (size_t)a * a * sizeof(*packed_out));
+    {
+        int k = 0;
+        for (int i = 0; i < 256; i++)
+            if (A[i]) alpha_out[k++] = (uint8_t)i;
+    }
+
+    for (int i = 0; i < 256; i++) {
+        if (!A[i]) continue;
+        uint32_t F[256], sum;
+        int rl = get_freq_row(tp, tend, A, F, &sum);
+        if (rl < 0) { free(ubuf); return -1; }
+        tp += rl;
+        if (!sum) continue;
+        norm_shift(F, sum, tot);
+        uint32_t x = 0;
+        int32_t *row = packed_out + (int64_t)aidx[i] * a;
+        for (int j = 0; j < 256; j++) {
+            if (!F[j]) continue;
+            if (F[j] > tot - x) { free(ubuf); return -1; }
+            row[aidx[j]] = (int32_t)((x << 13) | F[j]);
             x += F[j];
         }
         if (x != tot) { free(ubuf); return -1; }

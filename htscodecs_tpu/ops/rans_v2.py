@@ -46,6 +46,8 @@ RANS_L = 1 << 15
 CHUNK = 128          # words per refill chunk
 R_STEPS = 31         # inner-scan steps per refill: off0<128, +4*31 <= 255
 MAX_DENSE_A = 96     # above this, fall back to the v1 gather engines
+SEG = 128            # two-level compaction: slots per local sort
+SEG_CAP = 64         # per-segment word cap kept for the global pass
 
 # i32 packing of (base, freq): both <= 4096 (12-bit tables)
 PACK_SHIFT = 13
@@ -350,8 +352,9 @@ def dec_o0_batch(states, words, out_sz: int, alpha, packed,
 # ---------------------------------------------------------------------------
 # Encode
 
-@functools.partial(jax.jit, static_argnames=("shift", "order"))
-def _enc_scan_v2(blocks, alpha, packed, shift: int, order: int):
+@functools.partial(jax.jit, static_argnames=("shift", "order", "seg_cap"))
+def _enc_scan_v2(blocks, alpha, packed, shift: int, order: int,
+                 seg_cap: int = SEG_CAP):
     """Core v2 encode: densify, build processing-order params on
     device, run the reverse scan fetching (start,freq) from the dense
     packed tables, and sort-compact the emitted words.
@@ -443,28 +446,83 @@ def _enc_scan_v2(blocks, alpha, packed, shift: int, order: int):
 
     xf, (words, emits) = lax.scan(step, x0, (ctx_p, sym_p, valid))
 
-    # forward order = reverse of processing order
+    # forward order = reverse of processing order.  The barrier forces
+    # the (B, E) flattening to materialise as one dense 2D transpose:
+    # without it XLA fuses downstream casts into the transpose and
+    # materialises a (B, K, 4) copy whose minor dim pads 4 -> 128 on
+    # TPU (32x the memory).
     w = jnp.transpose(words[::-1, :, ::-1], (1, 0, 2)).reshape(B, K * 4)
     e = jnp.transpose(emits[::-1, :, ::-1], (1, 0, 2)).reshape(B, K * 4)
-    E = K * 4
-    pos = jnp.cumsum(e.astype(jnp.int32), axis=1)
-    keys = jnp.where(e, pos - 1, jnp.int32(1 << 30))
-    n = pos[:, -1]
-    _, sw = lax.sort([keys, w.astype(jnp.int32)], dimension=1, num_keys=1)
-    return xf[:, ::-1], sw.astype(jnp.uint16), n
+    w, e = lax.optimization_barrier((w, e))
+    out, n, overflow = _compact(w, e, seg_cap)
+    return xf[:, ::-1], out, n, overflow
+
+
+def _enc_with_fallback(blocks, alpha, packed, shift: int, order: int):
+    """Run the fast two-level compaction; re-run with the exact
+    single-sort path in the (rare) locally-expanding case."""
+    xf, words, n, ovf = _enc_scan_v2(blocks, alpha, packed, shift, order)
+    if bool(np.asarray(ovf)):
+        xf, words, n, _ = _enc_scan_v2(blocks, alpha, packed, shift, order,
+                                       seg_cap=SEG)
+    return xf, words, n
+
+
+def _compact(w, e, seg_cap: int):
+    """Compact emitted words to the front of each row (forward order).
+
+    seg_cap >= SEG: one global key-value sort over all E slots
+    (~2 ns/slot, always exact).  Otherwise a two-level scheme ~2x
+    faster: (1) sort within SEG-slot segments on the local emission
+    rank (bitonic cost scales with log^2(SEG)); (2) keep each
+    segment's first seg_cap words and sort the (E * seg_cap / SEG)
+    survivors on their global rank.  Returns (words, counts,
+    overflow) — overflow means some segment emitted > seg_cap words
+    and the result is unusable (caller re-runs with seg_cap=SEG).
+    """
+    B, E = w.shape
+    if seg_cap >= SEG:
+        pos = jnp.cumsum(e.astype(jnp.int32), axis=1)
+        keys = jnp.where(e, pos - 1, jnp.int32(1 << 30))
+        n = pos[:, -1]
+        _, sw = lax.sort([keys, w], dimension=1, num_keys=1)
+        return sw, n, jnp.zeros((), jnp.bool_)
+
+    KO = -(-E // SEG)
+    pad = KO * SEG - E
+    if pad:
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+        e = jnp.pad(e, ((0, 0), (0, pad)))
+    ws = w.reshape(B * KO, SEG)
+    es = e.reshape(B * KO, SEG)
+    loc = jnp.cumsum(es.astype(jnp.int32), axis=1)
+    keys = jnp.where(es, loc - 1, jnp.int32(SEG + 1))
+    _, sw = lax.sort([keys, ws], dimension=1, num_keys=1)
+    cnt = loc[:, -1]
+    overflow = jnp.any(cnt > seg_cap)
+    cnt2 = cnt.reshape(B, KO)
+    offs = jnp.cumsum(cnt2, axis=1) - cnt2                    # (B, KO)
+    n = cnt2.sum(axis=1)
+    swc = sw[:, :seg_cap].reshape(B, KO * seg_cap)
+    j = jnp.arange(seg_cap, dtype=jnp.int32)[None, None, :]
+    gkey = jnp.where(j < cnt2[:, :, None],
+                     offs[:, :, None] + j,
+                     jnp.int32(1 << 30)).reshape(B, KO * seg_cap)
+    _, out = lax.sort([gkey, swc], dimension=1, num_keys=1)
+    return out, n, overflow
 
 
 def enc_o1_batch(blocks: np.ndarray, alpha, packed, shift: int):
     """Batched order-1 encode via dense tables.  Returns (states,
     words (B,cap) u16 forward order, counts)."""
-    xf, words, n = _enc_scan_v2(
+    xf, words, n = _enc_with_fallback(
         jnp.asarray(blocks), jnp.asarray(alpha), jnp.asarray(packed),
         shift, 1)
     return np.asarray(xf), np.asarray(words), np.asarray(n)
 
 
 def enc_o0_batch(blocks: np.ndarray, alpha, packed, shift: int = 12):
-    xf, words, n = _enc_scan_v2(
+    xf, words, n = _enc_with_fallback(
         jnp.asarray(blocks), jnp.asarray(alpha), jnp.asarray(packed),
         shift, 0)
     return np.asarray(xf), np.asarray(words), np.asarray(n)

@@ -106,7 +106,8 @@ def roundtrip_o1_v2(blocks, alpha, packed, shift: int, N: int):
     packed (B,A,A) i32.  Returns (mismatches, compressed bytes)."""
     from ..ops import rans_v2
     B = blocks.shape[0]
-    states, words, n = rans_v2._enc_scan_v2(blocks, alpha, packed, shift, 1)
+    states, words, n, overflow = rans_v2._enc_scan_v2(
+        blocks, alpha, packed, shift, 1)
     cap = words.shape[1]
     NC = max(-(-cap // rans_v2.CHUNK), 2)
     padded = jnp.zeros((B, NC * rans_v2.CHUNK), jnp.uint32)
@@ -116,7 +117,9 @@ def roundtrip_o1_v2(blocks, alpha, packed, shift: int, N: int):
     K = q + (N - 4 * q)
     out = rans_v2._dec_v2_to_bytes(states, chunks, packed, alpha,
                                    shift, K, q, N, 1)
-    mism = jnp.sum(out != blocks)
+    # a compaction overflow (locally-expanding data) is a failure here:
+    # the standalone encoders re-run the exact path instead.
+    mism = jnp.sum(out != blocks) + overflow.astype(jnp.int64)
     comp_bytes = 16 * B + 2 * jnp.sum(n)
     return mism, comp_bytes
 
@@ -153,25 +156,18 @@ def build_o1_tables_dense(blocks: np.ndarray, threads: bool = True):
         return None
     import os
 
-    def one(b):
-        """Build + immediately extract the dense sub-table so the full
-        (256,256) arrays are short-lived (2 GB held otherwise at B=4k)."""
-        h, s, f, sh = native.build_tables_o1(b)
-        d = rans_v2.extract_dense(f, s)
-        return h, d, sh
-
     if threads and len(blocks) > 2 and (os.cpu_count() or 1) > 1:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(min(16, os.cpu_count() or 4)) as pool:
-            res = list(pool.map(one, list(blocks)))
+            res = list(pool.map(native.build_tables_o1_dense, list(blocks)))
     else:
-        res = [one(b) for b in blocks]
-    shifts = np.array([r[2] for r in res], np.int32)
+        res = [native.build_tables_o1_dense(b) for b in blocks]
+    if any(r is None for r in res):
+        return None
+    shifts = np.array([r[3] for r in res], np.int32)
     if not (shifts == shifts[0]).all():
         return None
-    if any(r[1] is None for r in res):
-        return None
-    dense = rans_v2.densify_builds(r[1] for r in res)
+    dense = rans_v2.densify_builds((r[1], r[2]) for r in res)
     if dense is None:
         return None
     alpha, packed, _ = dense

@@ -154,6 +154,57 @@ def test_o0_roundtrip_matches_oracle(n, a):
     assert np.array_equal(dec, blocks)
 
 
+def test_compaction_overflow_fallback():
+    """The two-level compaction must flag segment overflow and the
+    exact single-sort path (seg_cap=SEG) must stay byte-identical."""
+    import jax.numpy as jnp
+    data = mkdata(8192, 40, False)
+    blocks = np.stack([data] * 3)
+    r = native.build_tables_o1_dense(data)
+    assert r is not None
+    _h, al, pk, sh = r
+    alpha, packed, _ = rans_v2.densify_builds([(al, pk)] * 3)
+    jb = jnp.asarray(blocks)
+    ja, jp = jnp.asarray(alpha), jnp.asarray(packed)
+    # a tiny cap must trip the overflow flag
+    _, _, _, ovf = rans_v2._enc_scan_v2(jb, ja, jp, sh, 1, seg_cap=4)
+    assert bool(np.asarray(ovf))
+    # and the exact path must match the oracle stream
+    st, w, cnt, ovf = rans_v2._enc_scan_v2(jb, ja, jp, sh, 1,
+                                           seg_cap=rans_v2.SEG)
+    assert not bool(np.asarray(ovf))
+    st, w, cnt = np.asarray(st), np.asarray(w), np.asarray(cnt)
+    ref = rans4x16.compress(data, 1)
+    _osz, pos = varint.get_uint(ref, 1, len(ref))
+    off, *_t = native.parse_tables_o1(ref[pos:])
+    body = (st[0].astype("<u4").tobytes()
+            + w[0, :cnt[0]].astype("<u2").tobytes())
+    assert ref[pos + off:] == body
+
+
+def test_dense_native_matches_sparse():
+    """r16_build/parse_tables_o1_dense must agree with the sparse
+    builders they replace."""
+    data = mkdata(4096, 30, True)
+    h1, st, fr, sh1 = native.build_tables_o1(data)
+    al1, p1 = rans_v2.extract_dense(fr, st)
+    r2 = native.build_tables_o1_dense(data)
+    assert r2 is not None
+    h2, al2, p2, sh2 = r2
+    assert h1 == h2 and sh1 == sh2
+    assert np.array_equal(al1, al2) and np.array_equal(p1, p2)
+    s = rans4x16.compress(data, 1)
+    if s[0] == 1:
+        _osz, pos = varint.get_uint(s, 1, len(s))
+        off1, _sfb, f2d, b2d, psh = native.parse_tables_o1(s[pos:])
+        al3, p3 = rans_v2.extract_dense(f2d.astype(np.uint32),
+                                        b2d.astype(np.uint32))
+        off2, al4, p4, psh2 = native.parse_tables_o1_dense(s[pos:])
+        assert off1 == off2 and psh == psh2
+        idx = np.searchsorted(al4, al3)
+        assert np.array_equal(p4[np.ix_(idx, idx)], p3)
+
+
 def test_wide_alphabet_rejected():
     blocks = np.stack([np.arange(256, dtype=np.uint8)] * 2)
     _h, sts, frs, _sh = _o1_group(blocks)
