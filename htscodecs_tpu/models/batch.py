@@ -150,6 +150,85 @@ def _compress_batch_o1(batch: np.ndarray) -> list[bytes]:
     return out  # type: ignore[return-value]
 
 
+def arith_compress_blocks(blocks, order: int, engine: str = "auto") -> list[bytes]:
+    """Compress a sequence of blocks with the adaptive arith codec.
+
+    engine: "auto" (native host kernels on a thread pool — the
+    adaptive coder is byte-serial so a host core beats the chip for
+    this codec), "device" (batched TPU scan engines, bitstream-exact),
+    or "host" (pure-Python oracle path).
+    """
+    from . import arith as arithmod
+    arrs = [_as_u8(b) for b in blocks]
+    if engine != "device":
+        return [arithmod.compress(a, order) for a in arrs]
+
+    from ..ops import arith_jax
+    out: list[bytes | None] = [None] * len(arrs)
+    plain = order in (0, 1)
+    groups: dict[int, list[int]] = defaultdict(list)
+    for i, a in enumerate(arrs):
+        if plain and len(a) >= 8:
+            groups[len(a)].append(i)
+        else:
+            out[i] = arithmod.compress(a, order)
+    for n, idxs in groups.items():
+        batch = np.stack([arrs[i] for i in idxs])
+        ms = batch.max(axis=1).astype(np.int32) + 1
+        lens = np.full(len(idxs), n, np.int32)
+        res = arith_jax.enc_batch(batch, lens, ms, order)
+        if res is None:
+            for i in idxs:
+                out[i] = arithmod.compress(arrs[i], order)
+            continue
+        for k, i in enumerate(idxs):
+            head = bytearray([order])
+            varint.put_uint(head, n)
+            body = bytes([int(ms[k]) & 0xFF]) + res[k]
+            if len(body) >= n:
+                out[i] = arithmod.compress(arrs[i], order)  # CAT fallback
+            else:
+                out[i] = bytes(head) + body
+    return out  # type: ignore[return-value]
+
+
+def arith_uncompress_blocks(streams, out_sizes=None,
+                            engine: str = "auto") -> list[bytes]:
+    """Decompress a sequence of arith streams (device-batched when
+    engine="device" and the streams are plain order 0/1)."""
+    from . import arith as arithmod
+    streams = [bytes(s) for s in streams]
+    if engine != "device":
+        return [arithmod.uncompress(
+            s, out_sizes[i] if out_sizes is not None else None)
+            for i, s in enumerate(streams)]
+
+    from ..ops import arith_jax
+    out: list[bytes | None] = [None] * len(streams)
+    groups: dict[tuple, list] = defaultdict(list)
+    for i, s in enumerate(streams):
+        if not s:
+            raise ValueError("corrupt arith stream")
+        flags = s[0]
+        if (flags & ~1) != 0 or len(s) < 3:
+            out[i] = arithmod.uncompress(
+                s, out_sizes[i] if out_sizes is not None else None)
+            continue
+        osz, pos = varint.get_uint(s, 1, len(s))
+        groups[(flags & 1, osz)].append((i, s, pos))
+    for (order, osz), items in groups.items():
+        payloads = [s[pos + 1:] for _, s, pos in items]
+        ms = [s[pos] for _, s, pos in items]
+        dec = arith_jax.dec_batch(payloads, [osz] * len(items), ms, order)
+        if dec is None:
+            for i, s, _ in items:
+                out[i] = arithmod.uncompress(s)
+            continue
+        for k, (i, _s, _p) in enumerate(items):
+            out[i] = dec[k][:osz].tobytes()
+    return out  # type: ignore[return-value]
+
+
 def uncompress_blocks(streams, out_sizes=None, engine: str = "auto") -> list[bytes]:
     """Decompress a sequence of rANS 4x16 streams."""
     streams = [bytes(s) for s in streams]
