@@ -150,6 +150,118 @@ def _compress_batch_o1(batch: np.ndarray) -> list[bytes]:
     return out  # type: ignore[return-value]
 
 
+def r4x8_compress_blocks(blocks, order: int, engine: str = "auto") -> list[bytes]:
+    """Compress a sequence of blocks with the rANS 4x8 codec (CRAM
+    3.0), batching the payload scans onto the device."""
+    from . import rans4x8
+    from ..ops import rans_v2, rans8_v2
+    arrs = [_as_u8(b) for b in blocks]
+    out: list[bytes | None] = [None] * len(arrs)
+    groups: dict[int, list[int]] = defaultdict(list)
+    for i, a in enumerate(arrs):
+        if order in (0, 1) and engine != "host" and len(a) >= 8:
+            groups[len(a)].append(i)
+        else:
+            out[i] = rans4x8.compress(a, order)
+    for n, idxs in groups.items():
+        if engine != "device" and len(idxs) < DEVICE_MIN_GROUP:
+            for i in idxs:
+                out[i] = rans4x8.compress(arrs[i], order)
+            continue
+        batch = np.stack([arrs[i] for i in idxs])
+        if order == 1:
+            res = [rans4x8.build_tables_o1(b) for b in batch]
+            dense = rans_v2.densify_builds((r[1], r[2]) for r in res)
+        else:
+            res = [rans4x8.build_tables_o0(b) for b in batch]
+            dense = rans_v2.densify_group_o0(
+                np.stack([r[1] for r in res]),
+                np.stack([r[2] for r in res]))
+        if dense is None:
+            for i in idxs:
+                out[i] = rans4x8.compress(arrs[i], order)
+            continue
+        alpha, packed, _ = dense
+        enc = (rans8_v2.enc_o1_batch if order else rans8_v2.enc_o0_batch)
+        states, wbytes, counts = enc(batch, alpha, packed)
+        for k, i in enumerate(idxs):
+            tab = res[k][0]
+            payload = states[k].astype("<u4").tobytes() + \
+                wbytes[k, :counts[k]].astype(np.uint8).tobytes()
+            comp_sz = len(tab) + len(payload)
+            head = bytearray([order])
+            head += comp_sz.to_bytes(4, "little")
+            head += n.to_bytes(4, "little")
+            out[i] = bytes(head) + tab + payload
+    return out  # type: ignore[return-value]
+
+
+def r4x8_uncompress_blocks(streams, engine: str = "auto") -> list[bytes]:
+    """Decompress a sequence of rANS 4x8 streams, batching payload
+    scans onto the device."""
+    from . import rans4x8
+    from ..ops import rans_v2, rans8_v2
+    streams = [bytes(s) for s in streams]
+    out: list[bytes | None] = [None] * len(streams)
+    groups: dict[tuple, list] = defaultdict(list)
+    for i, s in enumerate(streams):
+        if len(s) < 9 or s[0] not in (0, 1) or engine == "host":
+            out[i] = rans4x8.uncompress(s)
+            continue
+        osz = int.from_bytes(s[5:9], "little")
+        groups[(s[0], osz)].append((i, s))
+    for (order, osz), items in groups.items():
+        if (engine != "device" and len(items) < DEVICE_MIN_GROUP) or osz < 4:
+            for i, s in items:
+                out[i] = rans4x8.uncompress(s)
+            continue
+        parsed = []
+        ok = True
+        for i, s in items:
+            r = (rans4x8.parse_tables_o1(s) if order
+                 else rans4x8.parse_tables_o0(s))
+            if r is None:
+                ok = False
+                break
+            parsed.append(r)
+        dense = None
+        if ok:
+            if order == 1:
+                dense = rans_v2.densify_builds(
+                    (r[2], r[3]) for r in parsed)
+            else:
+                dense = rans_v2.densify_group_o0(
+                    np.stack([r[4] for r in parsed]),
+                    np.stack([r[5] for r in parsed]))
+        if dense is None:
+            for i, s in items:
+                out[i] = rans4x8.uncompress(s)
+            continue
+        alpha, packed, _ = dense
+        B = len(items)
+        W = max(len(s) - r[0] - 16 for (_i, s), r in zip(items, parsed))
+        states = np.zeros((B, 4), np.uint32)
+        stream = np.zeros((B, max(W, 1)), np.uint8)
+        bad = False
+        for k, ((_i, s), r) in enumerate(zip(items, parsed)):
+            pos = r[0]
+            states[k] = np.frombuffer(s[pos:pos + 16], "<u4")
+            if (states[k] < rans8_v2.RANS8_L).any():
+                bad = True
+                break
+            body = np.frombuffer(s[pos + 16:], np.uint8)
+            stream[k, :len(body)] = body
+        if bad:
+            for i, s in items:
+                out[i] = rans4x8.uncompress(s)
+            continue
+        dec = (rans8_v2.dec_o1_batch if order else rans8_v2.dec_o0_batch)
+        res = dec(states, stream, osz, alpha, packed)
+        for k, (i, _s) in enumerate(items):
+            out[i] = res[k].tobytes()
+    return out  # type: ignore[return-value]
+
+
 def arith_compress_blocks(blocks, order: int, engine: str = "auto") -> list[bytes]:
     """Compress a sequence of blocks with the adaptive arith codec.
 

@@ -110,7 +110,9 @@ class _TableWriter:
                 self.out.append(self.rle)
 
 
-def _compress_o0(data: np.ndarray) -> bytes:
+def build_tables_o0(data: np.ndarray):
+    """Order-0 table build: (serialised table, freq (256,) u32,
+    start (256,) u32)."""
     in_size = len(data)
     if in_size == 0:
         raise ValueError("rans4x8 cannot encode an empty block")
@@ -128,8 +130,13 @@ def _compress_o0(data: np.ndarray) -> bytes:
             start[j] = x
             x += F[j]
     tab.append(0)
+    return bytes(tab), np.asarray(F, dtype=np.uint32), start
 
-    payload = core8.enc_o0(data, start, np.asarray(F, dtype=np.uint32), TF_SHIFT)
+
+def _compress_o0(data: np.ndarray) -> bytes:
+    in_size = len(data)
+    tab, F, start = build_tables_o0(data)
+    payload = core8.enc_o0(data, start, F, TF_SHIFT)
     comp_sz = len(tab) + len(payload)
     head = bytearray([0])
     head += comp_sz.to_bytes(4, "little")
@@ -137,11 +144,9 @@ def _compress_o0(data: np.ndarray) -> bytes:
     return bytes(head) + bytes(tab) + payload
 
 
-def _compress_o1(data: np.ndarray) -> bytes:
+def build_tables_o1(data: np.ndarray):
+    """Order-1 table build: (serialised table, freq2d, start2d)."""
     in_size = len(data)
-    if in_size < 4:
-        return _compress_o0(data)
-
     Fnp, Tnp = fq.hist1_4(data)
     F = Fnp.astype(np.int64)
     T = [int(v) for v in Tnp]
@@ -172,7 +177,14 @@ def _compress_o1(data: np.ndarray) -> bytes:
                 x += Fi[j]
         tab.append(0)
     tab.append(0)
+    return bytes(tab), freq2d, start2d
 
+
+def _compress_o1(data: np.ndarray) -> bytes:
+    in_size = len(data)
+    if in_size < 4:
+        return _compress_o0(data)
+    tab, freq2d, start2d = build_tables_o1(data)
     payload = core8.enc_o1(data, start2d, freq2d, TF_SHIFT)
     comp_sz = len(tab) + len(payload)
     head = bytearray([1])
@@ -190,20 +202,17 @@ def _get_freq(buf, pos: int) -> tuple[int, int]:
     return f, pos
 
 
-def _uncompress_o0(buf) -> bytes | None:
+def parse_tables_o0(buf):
+    """Parse the order-0 table block.  Returns (payload pos, slot LUTs
+    ssym/sfreq/sbase, per-symbol f1d/b1d) or None."""
     in_size = len(buf)
-    if in_size < 26 or buf[0] != 0:
-        return None
-    in_sz = int.from_bytes(buf[1:5], "little")
-    out_sz = int.from_bytes(buf[5:9], "little")
-    if in_sz != in_size - 9 or out_sz >= 2**31 - 1:
-        return None
-
     pos = 9
     end = in_size
     ssym = np.zeros(TOTFREQ, dtype=np.uint8)
     sfreq = np.zeros(TOTFREQ, dtype=np.uint32)
     sbase = np.zeros(TOTFREQ, dtype=np.uint32)
+    f1d = np.zeros(256, dtype=np.uint32)
+    b1d = np.zeros(256, dtype=np.uint32)
     rle = 0
     x = 0
     j = buf[pos]
@@ -217,6 +226,8 @@ def _uncompress_o0(buf) -> bytes | None:
         ssym[x:x + f] = j
         sfreq[x:x + f] = f
         sbase[x:x + f] = np.arange(f, dtype=np.uint32)
+        f1d[j] = f
+        b1d[j] = x
         x += f
         if not rle and pos < end and j + 1 == buf[pos]:
             j = buf[pos]
@@ -236,19 +247,30 @@ def _uncompress_o0(buf) -> bytes | None:
         return None
     if pos > end - 16:
         return None
-    out = core8.dec_o0(buf, pos, end, out_sz, ssym, sfreq, sbase, TF_SHIFT)
-    return None if out is None else out.tobytes()
+    return pos, ssym, sfreq, sbase, f1d, b1d
 
 
-def _uncompress_o1(buf) -> bytes | None:
+def _uncompress_o0(buf) -> bytes | None:
     in_size = len(buf)
-    if in_size < 27 or buf[0] != 1:
+    if in_size < 26 or buf[0] != 0:
         return None
     in_sz = int.from_bytes(buf[1:5], "little")
     out_sz = int.from_bytes(buf[5:9], "little")
     if in_sz != in_size - 9 or out_sz >= 2**31 - 1:
         return None
+    r = parse_tables_o0(buf)
+    if r is None:
+        return None
+    pos, ssym, sfreq, sbase, _f1d, _b1d = r
+    out = core8.dec_o0(buf, pos, len(buf), out_sz, ssym, sfreq, sbase,
+                       TF_SHIFT)
+    return None if out is None else out.tobytes()
 
+
+def parse_tables_o1(buf):
+    """Parse the order-1 table block.  Returns (payload pos, sfb
+    (256,4096), f2d, b2d) or None."""
+    in_size = len(buf)
     pos = 9
     end = in_size
     sfb = np.zeros((256, TOTFREQ), dtype=np.uint8)
@@ -311,7 +333,22 @@ def _uncompress_o1(buf) -> bytes | None:
 
     if pos > end - 16:
         return None
-    out = core8.dec_o1(buf, pos, end, out_sz, sfb, f2d, b2d, TF_SHIFT)
+    return pos, sfb, f2d, b2d
+
+
+def _uncompress_o1(buf) -> bytes | None:
+    in_size = len(buf)
+    if in_size < 27 or buf[0] != 1:
+        return None
+    in_sz = int.from_bytes(buf[1:5], "little")
+    out_sz = int.from_bytes(buf[5:9], "little")
+    if in_sz != in_size - 9 or out_sz >= 2**31 - 1:
+        return None
+    r = parse_tables_o1(buf)
+    if r is None:
+        return None
+    pos, sfb, f2d, b2d = r
+    out = core8.dec_o1(buf, pos, len(buf), out_sz, sfb, f2d, b2d, TF_SHIFT)
     return None if out is None else out.tobytes()
 
 
