@@ -170,8 +170,9 @@ def _enc_one(carry_state, sym, active):
     return st, jnp.stack(evs, axis=1), jnp.stack(fls, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("order",))
-def _enc_scan(blocks, lens, freqs0, order: int):
+@functools.partial(jax.jit, static_argnames=("order", "seg_cap"))
+def _enc_scan(blocks, lens, freqs0, order: int,
+              seg_cap: int = rans_v2.SEG_CAP):
     """blocks (B, N) u8 (padded), lens (B,) i32, freqs0 (B, M) i32 for
     order 0 or (B, M, M) for order 1 (context-major).
 
@@ -252,7 +253,7 @@ def _enc_scan(blocks, lens, freqs0, order: int):
     ev = jnp.transpose(events, (1, 0, 2, 3)).reshape(B, K * UNROLL * 2)
     fl = jnp.transpose(flags, (1, 0, 2, 3)).reshape(B, K * UNROLL * 2)
     ev, fl = lax.optimization_barrier((ev, fl))
-    out, n, ovf = _compact_u32(ev, fl)
+    out, n, ovf = _compact_u32(ev, fl, seg_cap)
     if order == 1:
         _m, _c, low, rng, cache, ffnum, rcc, csat = carry
     else:
@@ -261,10 +262,9 @@ def _enc_scan(blocks, lens, freqs0, order: int):
     return out, n, (low, rng, cache, ffnum, rcc), ovf
 
 
-def _compact_u32(w, e):
-    """Two-level compaction for u32 events (cf. rans_v2._compact;
-    events split into hi/lo u16 halves to ride the same sort)."""
-    SEG, CAP = rans_v2.SEG, rans_v2.SEG_CAP
+def _compact_u32(w, e, CAP):
+    """Two-level compaction for u32 events (cf. rans_v2._compact)."""
+    SEG = rans_v2.SEG
     B, E = w.shape
     KO = -(-E // SEG)
     pad = KO * SEG - E
@@ -350,11 +350,16 @@ def enc_batch(blocks: np.ndarray, lens: np.ndarray, max_syms: np.ndarray,
     f0 = (iota[None, :] < max_syms[:, None]).astype(np.int32)
     if order == 1:
         f0 = np.repeat(f0[:, None, :], M, axis=1)
-    out, n, rc, ovf = _enc_scan(jnp.asarray(blocks),
-                                jnp.asarray(lens.astype(np.int32)),
-                                jnp.asarray(f0), order)
+    jb = jnp.asarray(blocks)
+    jl = jnp.asarray(lens.astype(np.int32))
+    jf = jnp.asarray(f0)
+    out, n, rc, ovf = _enc_scan(jb, jl, jf, order)
     if bool(np.asarray(ovf)):
-        return None
+        # segment overflow (dense emission): exact single-sort path
+        out, n, rc, ovf = _enc_scan(jb, jl, jf, order,
+                                    seg_cap=rans_v2.SEG)
+        if bool(np.asarray(ovf)):
+            return None        # carry saturation: host path
     out = np.asarray(out)
     n = np.asarray(n)
     low, rng, cache, ffnum, carry = (np.asarray(x) for x in rc)

@@ -45,9 +45,11 @@ from jax import lax
 RANS_L = 1 << 15
 CHUNK = 128          # words per refill chunk
 R_STEPS = 31         # inner-scan steps per refill: off0<128, +4*31 <= 255
+DEC_U = 1            # symbols decoded per inner step
+DEC_R = 31           # inner steps per refill: 127 + 4*DEC_U*DEC_R <= 255
 MAX_DENSE_A = 96     # above this, fall back to the v1 gather engines
 SEG = 128            # two-level compaction: slots per local sort
-SEG_CAP = 64         # per-segment word cap kept for the global pass
+SEG_CAP = 32         # per-segment word cap kept for the global pass
 
 # i32 packing of (base, freq): both <= 4096 (12-bit tables)
 PACK_SHIFT = 13
@@ -238,17 +240,20 @@ def _dec_scan_v2(X0, chunks, packed, shift: int, K: int, q: int, order: int):
     X0: (B,4) u32 initial states; chunks: (B*NC, CHUNK) u32 word
     stream (u16 values) chunked along the major axis; packed:
     (B, A, A) i32 for order-1 or (B, A) i32 for order-0.
-    Returns dense symbols (KO*R, B, 4) i32 (first K steps valid) and
-    final states.
+    Returns dense symbols (KO*DEC_R*DEC_U, B, 4) (first K steps valid)
+    and final states.  The inner scan codes DEC_U symbols per step to
+    amortise the fixed per-step loop overhead; the window is selected
+    in two stages (chunk half, then 128-wide compare).
     """
     B = X0.shape[0]
     NC = chunks.shape[0] // B
     mask = jnp.uint32((1 << shift) - 1)
-    KO = -(-K // R_STEPS)
+    PER = DEC_R * DEC_U
+    KO = -(-K // PER)
     lane3 = jnp.arange(4, dtype=jnp.int32)[None, :] == 3
+    iotaH = jnp.arange(CHUNK, dtype=jnp.int32)[None, None, :]
 
-    def inner_step(carry, s):
-        X, p, ctx, win, base = carry
+    def one(X, p, ctx, s, win, base):
         if order == 1:
             act = (s < q) | ((s < K) & lane3)
             row = _row_fetch(packed, ctx)                     # (B,4,A)
@@ -273,7 +278,7 @@ def _dec_scan_v2(X0, chunks, packed, shift: int, K: int, q: int, order: int):
         X = jnp.where(act, Xn, X)
         p = p + jnp.sum(ni, axis=1)
         ctx = jnp.where(act, symd, ctx)
-        return (X, p, ctx, win, base), symd.astype(jnp.uint8)
+        return X, p, ctx, symd.astype(jnp.uint8)
 
     brange = jnp.arange(B, dtype=jnp.int32) * NC
 
@@ -284,16 +289,30 @@ def _dec_scan_v2(X0, chunks, packed, shift: int, K: int, q: int, order: int):
         rows = jnp.stack([brange + c0, brange + c1], axis=1).reshape(-1)
         win = jnp.take(chunks, rows, axis=0).reshape(B, 2 * CHUNK)
         base = (c0 << 7)[:, None]
-        steps = ko * R_STEPS + jnp.arange(R_STEPS)
-        (X, p, ctx, _, _), syms = lax.scan(
-            inner_step, (X, p, ctx, win, base), steps)
-        return (X, p, ctx), syms
+
+        # win/base are invariant within the inner scan: close over
+        # them instead of carrying them (a carried (B, 256) window is
+        # ~16 MB of HBM traffic per step — the dominant decode cost).
+        def inner_step(carry, s0):
+            X, p, ctx = carry
+            outs = []
+            for u in range(DEC_U):
+                X, p, ctx, symd = one(X, p, ctx, s0 + u, win, base)
+                outs.append(symd)
+            return (X, p, ctx), jnp.stack(outs, axis=1)   # (B,DU,4)
+
+        steps = ko * PER + jnp.arange(DEC_R) * DEC_U
+        (X, p, ctx), syms = lax.scan(
+            inner_step, (X, p, ctx), steps)
+        return (X, p, ctx), syms                       # (DEC_R, B, DU, 4)
 
     p0 = jnp.zeros((B,), jnp.int32)
     ctx0 = jnp.zeros((B, 4), jnp.int32)
     (Xf, pf, _), syms = lax.scan(outer, (X0, p0, ctx0),
                                  jnp.arange(KO, dtype=jnp.int32))
-    return syms.reshape(KO * R_STEPS, B, 4), Xf
+    # (KO, DEC_R, B, DU, 4) -> (KO*DEC_R*DU, B, 4)
+    syms = jnp.transpose(syms, (0, 1, 3, 2, 4)).reshape(KO * PER, B, 4)
+    return syms, Xf
 
 
 @functools.partial(jax.jit, static_argnames=("shift", "K", "q", "N", "order"))
