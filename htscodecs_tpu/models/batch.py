@@ -7,10 +7,12 @@ Streams are byte-identical to `rans4x16.compress` / the C reference in
 every path.
 
 Batching rules: blocks group by (length, order[, table precision]) —
-the scans are shape-specialised.  Blocks that use transform flags
-(PACK/RLE/STRIPE/CAT) fall back to the single-block host path; the
-transforms are cheap host array ops and the entropy payloads they
-produce re-enter this API recursively in future rounds.
+the scans are shape-specialised.  Transform-flagged streams
+(PACK/RLE/CAT/NOSZ, STRIPE containers) are peeled host-side on decode
+and their entropy payloads — including every stripe lane — join the
+same batched device groups as plain streams.  Transform-flagged
+ENCODE still uses the host wrapper (the brute-force per-lane method
+search is host logic either way).
 """
 
 from __future__ import annotations
@@ -341,52 +343,287 @@ def arith_uncompress_blocks(streams, out_sizes=None,
     return out  # type: ignore[return-value]
 
 
+def _peel_wrapper(s: bytes, out_size):
+    """Parse a non-STRIPE rans4x16 wrapper down to its entropy payload.
+
+    Mirrors rans4x16._uncompress_into (reference
+    rANS_static4x16pr.c:1435-1584) but DEFERS the entropy decode so
+    payloads from many blocks batch together.  Returns
+    (kind, ...) where kind is:
+      "cat":     (data np.uint8,)                 — finished output
+      "entropy": (order, body bytes, tmp1_size, post)  — post(tmp1)->np
+    or None for anything this path cannot handle (caller falls back).
+    """
+    from ..ops import pack as packmod
+    from ..ops import rle as rlemod
+    end = len(s)
+    if end == 0:
+        return None
+    order = s[0]
+    if order & rans4x16.X_STRIPE:
+        return None
+    pos = 1
+    do_pack = order & rans4x16.X_PACK
+    do_rle = order & rans4x16.X_RLE
+    do_cat = order & rans4x16.X_CAT
+    no_size = order & rans4x16.X_NOSZ
+    order &= 1
+    try:
+        if not no_size:
+            osz, pos = varint.get_uint(s, pos, end)
+        else:
+            if out_size is None:
+                return None
+            osz = out_size
+        if out_size is not None and osz > out_size:
+            return None
+        tmp1_size = osz
+
+        pmap = None
+        vpb = 0
+        if do_pack:
+            pmap, vpb, pos = packmod.unpack_meta(s, pos, end)
+            if pmap is None:
+                return None
+            psz, pos = varint.get_uint(s, pos, end)
+            if psz > tmp1_size:
+                return None
+            tmp1_size = psz
+
+        rle_meta = None
+        if do_rle:
+            u_meta_size, pos = varint.get_uint(s, pos, end)
+            rle_len, pos = varint.get_uint(s, pos, end)
+            if rle_len > tmp1_size:
+                return None
+            if u_meta_size & 1:
+                u_meta = min(u_meta_size // 2, end - pos)
+                rle_meta = bytes(s[pos:pos + u_meta])
+                c_meta_size = u_meta
+            else:
+                c_meta_size, pos2 = varint.get_uint(s, pos, end)
+                u_meta_size //= 2
+                blob = rans4x16._uncompress_o0(
+                    memoryview(s), pos2, end, u_meta_size)
+                if blob is None:
+                    return None
+                rle_meta = blob.tobytes()
+                pos = pos2
+            if c_meta_size + pos > end:
+                return None
+            pos += c_meta_size
+            tmp1_size = rle_len
+    except Exception:
+        return None
+
+    def post(tmp1: np.ndarray):
+        tmp2 = tmp1
+        if do_rle:
+            if rle_meta is None or len(rle_meta) == 0:
+                return None
+            nsyms = rle_meta[0] if rle_meta[0] else 256
+            if len(rle_meta) < 1 + nsyms:
+                return None
+            tmp2 = rlemod.decode(
+                tmp1, rle_meta[1 + nsyms:],
+                np.frombuffer(rle_meta[1:1 + nsyms], dtype=np.uint8), osz)
+            if tmp2 is None:
+                return None
+        if do_pack:
+            unpacked = len(tmp2) if vpb == 1 else osz
+            return packmod.unpack(tmp2, unpacked, vpb, pmap)
+        return tmp2
+
+    if end - pos == 0:
+        r = post(np.zeros(0, np.uint8))
+        return None if r is None else ("cat", r)
+    if do_cat:
+        if tmp1_size > end - pos or (out_size is not None
+                                     and tmp1_size > out_size):
+            return None
+        r = post(np.frombuffer(s[pos:pos + tmp1_size], np.uint8))
+        return None if r is None else ("cat", r)
+    return ("entropy", order, s[pos:], tmp1_size, post)
+
+
+def _peel_stripe(s: bytes, out_size):
+    """Parse a STRIPE container into lane sub-streams.  Returns
+    (ulen, N, [(sub_buf, lane_len), ...]) or None.  Lane i decodes
+    against the rest of the container (rANS_static4x16pr.c:1412-1426).
+    """
+    end = len(s)
+    try:
+        ulen, pos = varint.get_uint(s, 1, end)
+        if pos >= end:
+            return None
+        N = s[pos]
+        pos += 1
+        if N == 0:
+            return None
+        if out_size is not None and ulen != out_size:
+            return None
+        clens = []
+        tot = 0
+        for _ in range(N):
+            c, pos = varint.get_uint(s, pos, end)
+            if pos > end or c > end or c < 1:
+                return None
+            clens.append(c)
+            tot += c
+        if pos + tot > end:
+            return None
+    except Exception:
+        return None
+    stripe_end = pos + tot
+    lanes = []
+    for i in range(N):
+        lane_len = ulen // N + (1 if (ulen % N) > i else 0)
+        lanes.append((s[pos:stripe_end], lane_len))
+        pos += clens[i]
+    return ulen, N, lanes
+
+
 def uncompress_blocks(streams, out_sizes=None, engine: str = "auto") -> list[bytes]:
-    """Decompress a sequence of rANS 4x16 streams."""
+    """Decompress a sequence of rANS 4x16 streams.
+
+    Transform-flagged streams (PACK/RLE/CAT/NOSZ and STRIPE
+    containers) are peeled host-side and their entropy payloads —
+    including every stripe lane — join the same batched device decode
+    as the plain streams."""
     streams = [bytes(s) for s in streams]
     out: list[bytes | None] = [None] * len(streams)
+    if any(not s for s in streams):
+        raise ValueError("corrupt rans4x16 stream")
 
-    # classify: plain order 0/1 with stored size -> batched path
-    groups: dict[tuple, list] = defaultdict(list)
+    use_batch = engine != "host" and native.available()
+
+    # ---- peel wrappers into deferred entropy jobs --------------------
+    # job: (jid, order, body, tmp1_size); finishers run after decode
+    jobs: list[tuple] = []
+    finishers: list[tuple] = []       # (i, kind, state)
     for i, s in enumerate(streams):
-        if not s:
-            raise ValueError("corrupt rans4x16 stream")
-        flags = s[0]
-        plain = (flags & ~1) == 0 and engine != "host" and native.available()
-        if not plain:
-            out[i] = rans4x16.uncompress(
-                s, out_sizes[i] if out_sizes is not None else None)
+        osize = out_sizes[i] if out_sizes is not None else None
+        if not use_batch:
+            out[i] = rans4x16.uncompress(s, osize)
             continue
-        osz, pos = varint.get_uint(s, 1, len(s))
-        order = flags & 1
+        if s[0] & rans4x16.X_STRIPE:
+            st = _peel_stripe(s, osize)
+            if st is None:
+                out[i] = rans4x16.uncompress(s, osize)
+                continue
+            ulen, N, lanes = st
+            lane_ids = []
+            bad = False
+            for sub, lane_len in lanes:
+                p = _peel_wrapper(sub, lane_len)
+                if p is None:
+                    bad = True
+                    break
+                if p[0] == "cat":
+                    if len(p[1]) != lane_len:
+                        bad = True
+                        break
+                    lane_ids.append(("done", p[1]))
+                else:
+                    _k, order, body, t1, post = p
+                    jid = len(jobs)
+                    jobs.append((jid, order, body, t1))
+                    lane_ids.append(("job", jid, post, lane_len))
+            if bad:
+                out[i] = rans4x16.uncompress(s, osize)
+                continue
+            finishers.append((i, "stripe", (ulen, N, lane_ids)))
+        else:
+            p = _peel_wrapper(s, osize)
+            if p is None:
+                out[i] = rans4x16.uncompress(s, osize)
+            elif p[0] == "cat":
+                out[i] = p[1].tobytes()
+            else:
+                _k, order, body, t1, post = p
+                jid = len(jobs)
+                jobs.append((jid, order, body, t1))
+                finishers.append((i, "plain", (jid, post)))
+
+    results = _decode_entropy_jobs(jobs, engine) if jobs else {}
+
+    # ---- assemble ----------------------------------------------------
+    for i, kind, state in finishers:
+        if kind == "plain":
+            jid, post = state
+            tmp1 = results.get(jid)
+            r = post(tmp1) if tmp1 is not None else None
+            if r is None:
+                out[i] = rans4x16.uncompress(
+                    streams[i],
+                    out_sizes[i] if out_sizes is not None else None)
+            else:
+                out[i] = r.tobytes()
+        else:
+            ulen, N, lane_ids = state
+            buf = np.zeros(ulen, np.uint8)
+            ok = True
+            for li, entry in enumerate(lane_ids):
+                if entry[0] == "done":
+                    lane = entry[1]
+                else:
+                    _t, jid, post, lane_len = entry
+                    tmp1 = results.get(jid)
+                    lane = post(tmp1) if tmp1 is not None else None
+                    if lane is None or len(lane) != lane_len:
+                        ok = False
+                        break
+                buf[li::N] = lane
+            if ok:
+                out[i] = buf.tobytes()
+            else:
+                out[i] = rans4x16.uncompress(
+                    streams[i],
+                    out_sizes[i] if out_sizes is not None else None)
+    return out  # type: ignore[return-value]
+
+
+def _decode_entropy_jobs(jobs, engine: str) -> dict:
+    """Decode a list of (jid, order, body, out_sz) rans4x16 entropy
+    payloads, batching same-shape groups onto the device.  Returns
+    {jid: np.uint8 array} (missing jid = parse failure)."""
+    results: dict[int, np.ndarray] = {}
+    groups: dict[tuple, list] = defaultdict(list)
+    for jid, order, s, osz in jobs:
+        if osz == 0:
+            results[jid] = np.zeros(0, np.uint8)
+            continue
         if order == 1:
-            r = native.parse_tables_o1_dense(s[pos:])
+            r = native.parse_tables_o1_dense(s)
             if r is not None:
                 off, alpha, packed, shift = r
-                groups[(1, osz, shift)].append(
-                    (i, s, pos + off, alpha, packed))
+                groups[(1, osz, shift)].append((jid, s, off, alpha, packed))
             else:
-                r = native.parse_tables_o1(s[pos:])
+                r = native.parse_tables_o1(s)
                 if r is None:
-                    raise ValueError("corrupt rans4x16 stream")
+                    continue
                 off, sfb, f2d, b2d, shift = r
                 groups[(1, osz, shift, "sparse")].append(
-                    (i, s, pos + off, sfb, f2d, b2d))
+                    (jid, s, off, sfb, f2d, b2d))
         else:
-            r = native.parse_tables_o0(s[pos:])
+            r = native.parse_tables_o0(s)
             if r is None:
-                raise ValueError("corrupt rans4x16 stream")
+                continue
             off, ssym, sfreq, sbase = r
-            groups[(0, osz)].append((i, s, pos + off, ssym, sfreq, sbase))
+            groups[(0, osz)].append((jid, s, off, ssym, sfreq, sbase))
 
     from ..ops import rans_jax, rans_v2
     for key, items in groups.items():
+        order, osz = key[0], key[1]
         if engine != "device" and len(items) < DEVICE_MIN_GROUP:
             for it in items:
-                i, s = it[0], it[1]
-                out[i] = rans4x16.uncompress(s)
+                jid, s = it[0], it[1]
+                r = (rans4x16._uncompress_o1(memoryview(s), 0, len(s), osz)
+                     if order else
+                     rans4x16._uncompress_o0(memoryview(s), 0, len(s), osz))
+                if r is not None:
+                    results[jid] = r
             continue
-        order, osz = key[0], key[1]
         B = len(items)
         W = max((len(s) - off - 16) // 2 for _, s, off, *_ in items)
         states = np.zeros((B, 4), np.uint32)
@@ -429,6 +666,6 @@ def uncompress_blocks(streams, out_sizes=None, engine: str = "auto") -> list[byt
                 dec = rans_jax.dec_o0_batch(states, words, osz, ssym,
                                             sfreq, sbase, 12)
         for k, it in enumerate(items):
-            out[it[0]] = dec[k].tobytes()
+            results[it[0]] = dec[k]
 
-    return out  # type: ignore[return-value]
+    return results

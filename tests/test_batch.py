@@ -46,3 +46,35 @@ def test_batch_matches_host():
         capture_output=True, text=True, timeout=900, env=env,
     )
     assert "BATCH-OK" in r.stdout, r.stdout + r.stderr[-3000:]
+
+
+def test_transform_streams_batch_decode():
+    """PACK/RLE/STRIPE/CAT/NOSZ streams decode through the batched
+    path identically to the host wrapper."""
+    import numpy as np
+    from htscodecs_tpu.models import batch, rans4x16
+    rng = np.random.default_rng(67)
+    datas, streams, sizes = [], [], []
+    for order in (0, 1, 0x40, 0x41, 0x80, 0x81, 0xC0, 0xC1,
+                  0x08 | 1, 0x20, 0x10 | 1):
+        for _ in range(6):
+            n = int(rng.integers(64, 3000))
+            d = (np.repeat(rng.choice(6, n), 1)[:n] * 7 + 33).astype(np.uint8)
+            if order & 0x08:
+                o = order | (4 << 8)      # stripe N=4
+            else:
+                o = order
+            s = rans4x16.compress(d, o)
+            datas.append(d)
+            streams.append(s)
+            sizes.append(n)
+    dec = batch.uncompress_blocks(streams, out_sizes=sizes, engine="device")
+    for d, got in zip(datas, dec):
+        assert got == d.tobytes()
+    # and without out_sizes for the non-NOSZ ones
+    keep = [i for i, s in enumerate(streams)
+            if not (s[0] & rans4x16.X_NOSZ)]
+    dec2 = batch.uncompress_blocks([streams[i] for i in keep],
+                                   engine="device")
+    for k, i in enumerate(keep):
+        assert dec2[k] == datas[i].tobytes()
