@@ -508,6 +508,9 @@ def decode_names(buf) -> bytes:
         raise ValueError("corrupt tok3 stream")
 
     desc_buf: dict[int, bytes] = {}
+    jobs: list[tuple[int, bytes]] = []
+    dups: list[tuple[int, int]] = []
+    known: set[int] = set()
     max_tok = 1
     tnum = -1
     o = 9
@@ -528,12 +531,14 @@ def decode_names(buf) -> bytes:
                 if tnum < 0:
                     raise ValueError("corrupt tok3 stream")
                 desc_buf[tnum << 4] = bytes([ttype & 15]) + bytes([N_MATCH]) * (nreads - 1)
+                known.add(tnum << 4)
             if tnum < 0:
                 raise ValueError("corrupt tok3 stream")
             i = (tnum << 4) | (ttype & 15)
-            if j >= i or j not in desc_buf:
+            if j >= i or j not in known:
                 raise ValueError("corrupt tok3 stream")
-            desc_buf[i] = desc_buf[j]
+            dups.append((i, j))
+            known.add(i)
             continue
 
         if ttype & 128:
@@ -545,17 +550,49 @@ def decode_names(buf) -> bytes:
             if tnum < 0:
                 raise ValueError("corrupt tok3 stream")
             desc_buf[tnum << 4] = bytes([ttype & 15]) + bytes([N_MATCH]) * (nreads - 1)
+            known.add(tnum << 4)
         if tnum < 0:
             raise ValueError("corrupt tok3 stream")
         i = (tnum << 4) | (ttype & 15)
         if i >= MAX_TBLOCKS:
             raise ValueError("corrupt tok3 stream")
-        res = _uncompress_desc(buf, o, sz, use_arith)
-        if res is None:
+        clen, p2 = varint.get_uint(buf, o, sz)
+        if p2 + clen > sz:
             raise ValueError("corrupt tok3 stream")
-        data, consumed = res
-        desc_buf[i] = data
-        o += consumed
+        jobs.append((i, p2, clen))
+        known.add(i)
+        o = p2 + clen
+
+    # Decompress every descriptor stream in one batched call (up to
+    # 2048 small blocks per name block — the natural batching axis,
+    # tokenise_name3.c:1246-1300).  Arith-backed blocks stay on the
+    # host coder, which outpaces the chip for the adaptive codec.
+    if use_arith:
+        # the adaptive decoder reads ahead of its clen by design, so
+        # each descriptor decodes against the container REMAINDER
+        # (tokenise_name3.c passes in_size - o, not clen)
+        for i, p2, _clen in jobs:
+            r = arithmod._uncompress_into(memoryview(bytes(buf[p2:sz])), None)
+            if r is None:
+                raise ValueError("corrupt tok3 stream")
+            desc_buf[i] = bytes(r)
+    elif jobs:
+        # rANS streams are self-contained: exact clen slices batch
+        # without dragging the whole container into every group
+        from . import batch as batchmod
+        try:
+            datas = batchmod.uncompress_blocks(
+                [bytes(buf[p2:p2 + clen]) for _i, p2, clen in jobs])
+        except ValueError:
+            raise ValueError("corrupt tok3 stream") from None
+        for (i, _p, _c), data in zip(jobs, datas):
+            desc_buf[i] = data
+    # duplicate-block pointers resolve in stream order (targets are
+    # always earlier blocks, tokenise_name3.c:1513-1531)
+    for i, j in dups:
+        if j not in desc_buf:
+            raise ValueError("corrupt tok3 stream")
+        desc_buf[i] = desc_buf[j]
 
     # Replay tokens.
     desc = {i: [b, 0] for i, b in desc_buf.items()}  # buf, cursor
