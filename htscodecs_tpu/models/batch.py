@@ -669,3 +669,30 @@ def _decode_entropy_jobs(jobs, engine: str) -> dict:
             results[it[0]] = dec[k]
 
     return results
+
+
+def fqz_compress_blocks(jobs, engine: str = "auto") -> list[bytes]:
+    """Compress many fqzcomp_qual slices concurrently.
+
+    jobs: sequence of (data, lens[, flags[, strat]]) tuples as accepted
+    by models.fqz.compress.  The fqz model scan is native C (GIL
+    released), so slices parallelise across host cores; the adaptive
+    65536-context model is far too large for useful on-chip batching
+    (SURVEY.md section 5, long-context note), so blocks-across-cores
+    IS the fqz scaling axis.
+    """
+    from . import fqz as fqzmod
+
+    def one(job):
+        data, lens, *rest = job
+        flags = rest[0] if len(rest) > 0 else None
+        strat = rest[1] if len(rest) > 1 else 0
+        return fqzmod.compress(data, lens, flags, strat=strat)
+
+    return _pmap(one, list(jobs))
+
+
+def fqz_decompress_blocks(streams, engine: str = "auto") -> list[bytes]:
+    """Decompress many fqzcomp_qual streams concurrently."""
+    from . import fqz as fqzmod
+    return _pmap(fqzmod.decompress, [bytes(s) for s in streams])

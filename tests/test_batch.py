@@ -78,3 +78,17 @@ def test_transform_streams_batch_decode():
                                    engine="device")
     for k, i in enumerate(keep):
         assert dec2[k] == datas[i].tobytes()
+
+
+def test_fqz_batch_wrappers():
+    import numpy as np
+    from htscodecs_tpu.models import batch, fqz
+    rng = np.random.default_rng(5)
+    jobs = []
+    for _ in range(5):
+        data = (rng.integers(0, 8, 3000) + 2).astype(np.uint8)
+        jobs.append((data, [100] * 30))
+    streams = batch.fqz_compress_blocks(jobs)
+    assert streams == [fqz.compress(d, l) for d, l in jobs]
+    dec = batch.fqz_decompress_blocks(streams)
+    assert all(dec[i] == jobs[i][0].tobytes() for i in range(5))
