@@ -247,6 +247,26 @@ def build_tables_o1(data: np.ndarray):
     return hdr[:hl].tobytes(), st, fr, int(sh.value)
 
 
+import threading
+
+_TLBUF = threading.local()
+
+
+def _dense_bufs(max_a: int):
+    """Per-thread scratch for the dense table builders (a fresh 200 KB
+    np.empty per call costs more than the C work at small blocks)."""
+    b = getattr(_TLBUF, "bufs", None)
+    if b is None or b[3] < max_a:
+        # worst-case header: alphabet + per-row freq deltas; the C side
+        # compresses anything over 1000 B, but budget the raw size
+        hdr = np.empty(257 * 257 * 3 + 64, dtype=np.uint8)
+        alpha = np.empty(max_a, dtype=np.uint8)
+        packed = np.empty(max_a * max_a, dtype=np.int32)
+        b = (hdr, alpha, packed, max_a)
+        _TLBUF.bufs = b
+    return b
+
+
 def build_tables_o1_dense(data: np.ndarray, max_a: int = 96):
     """Dense order-1 table build for the v2 engines.
 
@@ -254,9 +274,7 @@ def build_tables_o1_dense(data: np.ndarray, max_a: int = 96):
     None (error / alphabet wider than max_a -> caller falls back)."""
     lib = get_lib()
     a, ap = _u8(data)
-    hdr = np.empty(257 * 257 * 3 + 64, dtype=np.uint8)
-    alpha = np.empty(max_a, dtype=np.uint8)
-    packed = np.empty(max_a * max_a, dtype=np.int32)
+    hdr, alpha, packed, _ = _dense_bufs(max_a)
     na = ctypes.c_int32(0)
     sh = ctypes.c_int32(0)
     hl = lib.r16_build_tables_o1_dense(
@@ -278,8 +296,7 @@ def parse_tables_o1_dense(blob, max_a: int = 96):
     or None."""
     lib = get_lib()
     a, ap = _u8(np.frombuffer(bytes(blob), dtype=np.uint8))
-    alpha = np.empty(max_a, dtype=np.uint8)
-    packed = np.empty(max_a * max_a, dtype=np.int32)
+    _hdr, alpha, packed, _ = _dense_bufs(max_a)
     na = ctypes.c_int32(0)
     sh = ctypes.c_int32(0)
     off = lib.r16_parse_tables_o1_dense(
