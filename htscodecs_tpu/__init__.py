@@ -12,11 +12,12 @@ output:
 - ``fqz``: fqzcomp quality-score compressor (CRAM 3.1).
 - ``tok3``: read-name tokeniser (CRAM 3.1).
 
-Architecture: host-side framing and table construction in Python/NumPy,
-hot entropy loops in native host kernels (C) for single-block work and
-in batched JAX/XLA/Pallas engines (ops/rans_jax.py) for TPU-scale
-throughput across thousands of independent blocks, sharded over device
-meshes via ``htscodecs_tpu.parallel``.
+Architecture: host-side framing and table construction in C/NumPy,
+hot entropy loops in native host kernels for single-block work and in
+batched JAX/XLA engines (ops/rans_v2.py, ops/rans8_v2.py,
+ops/arith_jax.py) for TPU-scale throughput across thousands of
+independent blocks, grouped by ``models.batch`` and sharded over
+device meshes via ``htscodecs_tpu.parallel``.
 """
 
 from . import utils  # noqa: F401
