@@ -171,14 +171,28 @@ def r4x8_compress_blocks(blocks, order: int, engine: str = "auto") -> list[bytes
                 out[i] = rans4x8.compress(arrs[i], order)
             continue
         batch = np.stack([arrs[i] for i in idxs])
+        if native.available():
+            res = _pmap(lambda b: native.r8_build_tables_dense(b, order),
+                        list(batch))
+        else:
+            res = [None]
+        if any(r is None for r in res):
+            for i in idxs:
+                out[i] = rans4x8.compress(arrs[i], order)
+            continue
         if order == 1:
-            res = [rans4x8.build_tables_o1(b) for b in batch]
             dense = rans_v2.densify_builds((r[1], r[2]) for r in res)
         else:
-            res = [rans4x8.build_tables_o0(b) for b in batch]
-            dense = rans_v2.densify_group_o0(
-                np.stack([r[1] for r in res]),
-                np.stack([r[2] for r in res]))
+            # order-0 dense rows pad like densify_builds' O1 rows
+            A = rans_v2._round_a(max(len(r[1]) for r in res))
+            alpha = np.zeros((len(res), A), np.uint8)
+            packed = np.zeros((len(res), A), np.int32)
+            for k, r in enumerate(res):
+                al, pk = r[1], r[2]
+                alpha[k, :len(al)] = al
+                alpha[k, len(al):] = al[-1] if len(al) else 0
+                packed[k, :len(pk)] = pk
+            dense = (alpha, packed, A)
         if dense is None:
             for i in idxs:
                 out[i] = rans4x8.compress(arrs[i], order)

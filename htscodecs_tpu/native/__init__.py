@@ -82,6 +82,10 @@ def get_lib():
              [u8p, i64, u8p, i64, u8p, i32p, ctypes.c_int32, i32p, i32p])
         _sig(lib.r16_parse_tables_o1_dense, i64,
              [u8p, i64, u8p, i32p, ctypes.c_int32, i32p, i32p])
+        _sig(lib.r8_build_tables_o0_dense, i64,
+             [u8p, i64, u8p, i64, u8p, i32p, ctypes.c_int32, i32p])
+        _sig(lib.r8_build_tables_o1_dense, i64,
+             [u8p, i64, u8p, i64, u8p, i32p, ctypes.c_int32, i32p])
         _sig(lib.r16_gather_params_o1, i64, [u8p, i64, u32p, u32p, u16p, u16p])
         for nm in ("arith_enc_o0", "arith_enc_o1", "arith_enc_o0_rle",
                    "arith_enc_o1_rle", "arith_dec_o0", "arith_dec_o1",
@@ -287,6 +291,28 @@ def build_tables_o1_dense(data: np.ndarray, max_a: int = 96):
     n = na.value
     return (hdr[:hl].tobytes(), alpha[:n].copy(),
             packed[:n * n].reshape(n, n).copy(), int(sh.value))
+
+
+def r8_build_tables_dense(data: np.ndarray, order: int, max_a: int = 96):
+    """Dense rANS 4x8 table build (CRAM 3.0) for the v2 engines.
+
+    Returns (serialised table bytes, alpha (a,) u8, packed i32 —
+    (a,) for order 0, (a,a) for order 1) or None."""
+    lib = get_lib()
+    a, ap = _u8(data)
+    hdr, alpha, packed, _ = _dense_bufs(max_a)
+    na = ctypes.c_int32(0)
+    fn = lib.r8_build_tables_o1_dense if order else lib.r8_build_tables_o0_dense
+    tl = fn(ap, len(a), hdr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(hdr), alpha.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_a, ctypes.byref(na))
+    if tl < 0:
+        return None
+    n = na.value
+    pk = (packed[:n * n].reshape(n, n).copy() if order
+          else packed[:n].copy())
+    return hdr[:tl].tobytes(), alpha[:n].copy(), pk
 
 
 def parse_tables_o1_dense(blob, max_a: int = 96):

@@ -471,6 +471,207 @@ API int64_t r16_build_tables_o1(const uint8_t *in, int64_t n,
     return hl;
 }
 
+/* ---------------------------------------------------------------- */
+/* rANS 4x8 (CRAM 3.0) dense table builders.  Bit-exact ports of the
+ * models/rans4x8.py builders (themselves golden-tested against
+ * rANS_static.c:106-133,461-543): u64 fixed-point O0 normalisation
+ * and DOUBLE-arithmetic per-row O1 normalisation, both with the *0.98
+ * retry, plus the interleaved [sym][run?][freq] table serialiser. */
+
+static int put_freq8(uint8_t *p, uint32_t f) {
+    if (f < 128) { p[0] = (uint8_t)f; return 1; }
+    p[0] = (uint8_t)(128 | (f >> 8));
+    p[1] = (uint8_t)(f & 0xFF);
+    return 2;
+}
+
+typedef struct { uint8_t *out; int64_t pos; int rle; } twriter;
+
+static void tw_put_sym(twriter *w, int j, const uint32_t *present) {
+    if (w->rle) { w->rle--; return; }
+    w->out[w->pos++] = (uint8_t)j;
+    if (j && present[j - 1]) {
+        int run = j + 1;
+        while (run < 256 && present[run]) run++;
+        w->rle = run - (j + 1);
+        w->out[w->pos++] = (uint8_t)w->rle;
+    }
+}
+
+static void r8_norm_o0(uint32_t *F, int64_t n) {
+    uint64_t tr = (((uint64_t)4096 << 31) / (uint64_t)n)
+        + ((uint64_t)(1u << 30) / (uint64_t)n);
+    for (;;) {
+        uint32_t fsum = 0, m = 0;
+        int M = 0;
+        for (int j = 0; j < 256; j++) {
+            if (!F[j]) continue;
+            if (m < F[j]) { m = F[j]; M = j; }
+            F[j] = (uint32_t)(((uint64_t)F[j] * tr) >> 31);
+            if (!F[j]) F[j] = 1;
+            fsum += F[j];
+        }
+        fsum++;
+        if (fsum < 4096) {
+            F[M] += 4096 - fsum;
+        } else if (fsum - 4096 > F[M] / 2) {
+            tr = 2104533975u;
+            continue;
+        } else {
+            F[M] -= fsum - 4096;
+        }
+        break;
+    }
+}
+
+static void r8_norm_o1_row(uint32_t *F, uint32_t T) {
+    double p = 4096.0 / (double)T;
+    for (;;) {
+        uint32_t t2 = 0, m = 0;
+        int M = 0;
+        for (int j = 0; j < 256; j++) {
+            if (!F[j]) continue;
+            if (m < F[j]) { m = F[j]; M = j; }
+            F[j] = (uint32_t)((double)F[j] * p);
+            if (!F[j]) F[j] = 1;
+            t2 += F[j];
+        }
+        t2++;
+        if (t2 < 4096) {
+            F[M] += 4096 - t2;
+        } else if (t2 - 4096 >= F[M] / 2) {
+            p = 0.98;
+            continue;
+        } else {
+            F[M] -= t2 - 4096;
+        }
+        break;
+    }
+}
+
+API int64_t r8_build_tables_o0_dense(const uint8_t *in, int64_t n,
+                                     uint8_t *tab, int64_t tab_cap,
+                                     uint8_t *alpha_out, int32_t *packed_out,
+                                     int32_t max_a, int32_t *a_out) {
+    if (n < 1 || tab_cap < 258 * 4) return -1;
+    uint32_t F[256];
+    memset(F, 0, sizeof F);
+    for (int64_t i = 0; i < n; i++) F[in[i]]++;
+    r8_norm_o0(F, n);
+    uint32_t used[256];
+    int a = 0;
+    for (int j = 0; j < 256; j++) used[j] = F[j] > 0;
+    used[0] = 1;
+    for (int j = 0; j < 256; j++) a += used[j] != 0;
+    if (a > max_a) return -2;
+    *a_out = a;
+    twriter w = { tab, 0, 0 };
+    uint32_t x = 0;
+    int aj = 0;
+    for (int j = 0; j < 256; j++) {
+        if (used[j]) {
+            alpha_out[aj] = (uint8_t)j;
+            packed_out[aj] = (int32_t)((x << 13) | F[j]);
+            aj++;
+        }
+        if (F[j]) {
+            tw_put_sym(&w, j, F);
+            w.pos += put_freq8(w.out + w.pos, F[j]);
+            x += F[j];
+        }
+    }
+    tab[w.pos++] = 0;
+    return w.pos;
+}
+
+API int64_t r8_build_tables_o1_dense(const uint8_t *in, int64_t n,
+                                     uint8_t *tab, int64_t tab_cap,
+                                     uint8_t *alpha_out, int32_t *packed_out,
+                                     int32_t max_a, int32_t *a_out) {
+    /* worst case: max_a rows of <=256 [sym freq16] pairs + terminators */
+    if (n < 4 || tab_cap < (int64_t)(max_a + 2) * (256 * 4 + 4)) return -1;
+    static __thread uint32_t (*F0)[256] = NULL;
+    static __thread uint32_t (*F1)[256] = NULL;
+    if (!F0) {
+        F0 = calloc(256, sizeof(*F0));
+        F1 = calloc(256, sizeof(*F1));
+        if (!F0 || !F1) { free(F0); F0 = NULL; free(F1); F1 = NULL; return -1; }
+    }
+    uint32_t T[256], used[256];
+    int aidx[256];
+    memset(T, 0, sizeof T);
+    memset(used, 0, sizeof used);
+
+    {
+        int64_t i = 1;
+        F0[0][in[0]]++;
+        used[in[0]] = 1;
+        for (; i + 1 < n; i += 2) {
+            F0[in[i - 1]][in[i]]++;
+            F1[in[i]][in[i + 1]]++;
+            used[in[i]] = 1;
+            used[in[i + 1]] = 1;
+        }
+        for (; i < n; i++) {
+            F0[in[i - 1]][in[i]]++;
+            used[in[i]] = 1;
+        }
+    }
+    used[0] = 1;
+    int a = 0;
+    for (int j = 0; j < 256; j++) aidx[j] = used[j] ? a++ : -1;
+    /* merge + totals over rows that can be contexts (data bytes + 0) */
+    for (int i = 0; i < 256; i++) {
+        if (!used[i]) continue;
+        uint32_t t = 0;
+        for (int j = 0; j < 256; j++) {
+            F0[i][j] += F1[i][j];
+            t += F0[i][j];
+        }
+        T[i] = t;
+        memset(F1[i], 0, sizeof(F1[i]));
+    }
+    if (a > max_a) {
+        for (int i = 0; i < 256; i++)
+            if (used[i]) memset(F0[i], 0, sizeof(F0[i]));
+        return -2;
+    }
+    *a_out = a;
+    int64_t q = n >> 2;
+    F0[0][in[q]]++; F0[0][in[2 * q]]++; F0[0][in[3 * q]]++;
+    T[0] += 3;
+
+    memset(packed_out, 0, (size_t)a * a * sizeof(*packed_out));
+    {
+        int k = 0;
+        for (int j = 0; j < 256; j++)
+            if (used[j]) alpha_out[k++] = (uint8_t)j;
+    }
+
+    twriter wi = { tab, 0, 0 };
+    for (int i = 0; i < 256; i++) {
+        if (!used[i]) continue;
+        if (!T[i]) { memset(F0[i], 0, sizeof(F0[i])); continue; }
+        r8_norm_o1_row(F0[i], T[i]);
+        tw_put_sym(&wi, i, T);
+        twriter wj = { tab, wi.pos, 0 };
+        uint32_t x = 0;
+        int32_t *row = packed_out + (int64_t)aidx[i] * a;
+        for (int j = 0; j < 256; j++) {
+            if (!F0[i][j]) continue;
+            tw_put_sym(&wj, j, F0[i]);
+            wj.pos += put_freq8(wj.out + wj.pos, F0[i][j]);
+            row[aidx[j]] = (int32_t)((x << 13) | F0[i][j]);
+            x += F0[i][j];
+        }
+        wi.pos = wj.pos;
+        tab[wi.pos++] = 0;
+        memset(F0[i], 0, sizeof(F0[i]));
+    }
+    tab[wi.pos++] = 0;
+    return wi.pos;
+}
+
 /* Dense-output variant for the TPU v2 engines: writes the block's
  * sorted alphabet and an (a x a) packed (base << 13 | freq) table
  * directly, skipping the 512 KB sparse (256x256) outputs and the

@@ -93,3 +93,27 @@ def test_batch_api_decodes_host_streams():
     dec = batch.r4x8_uncompress_blocks(streams, engine="device")
     for b, d in zip(blocks, dec):
         assert d == b.tobytes()
+
+
+def test_native_dense_builders_match_python():
+    from htscodecs_tpu import native
+    if not native.available():
+        pytest.skip("native unavailable")
+    for n, a in [(64, 2), (1000, 9), (4097, 40)]:
+        d = mkdata(n, a, True)
+        tab_p, F, start = rans4x8.build_tables_o0(d)
+        r = native.r8_build_tables_dense(d, 0)
+        assert r is not None and r[0] == tab_p
+        alpha_p, packed_p, _ = rans_v2.densify_group_o0(F[None], start[None])
+        na = len(r[1])
+        assert np.array_equal(r[1], alpha_p[0][:na])
+        assert np.array_equal(r[2], packed_p[0][:na])
+        tab_p1, fr, st = rans4x8.build_tables_o1(d)
+        r1 = native.r8_build_tables_dense(d, 1)
+        assert r1 is not None and r1[0] == tab_p1
+        alpha1, packed1, _ = rans_v2.densify_builds([(fr, st)])
+        a_n = len(r1[1])
+        assert np.array_equal(r1[1], alpha1[0][:a_n])
+        assert np.array_equal(r1[2], packed1[0][:a_n, :a_n])
+    wide = np.arange(200, dtype=np.uint8).repeat(8)
+    assert native.r8_build_tables_dense(wide, 1) is None
