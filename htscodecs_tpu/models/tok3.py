@@ -21,9 +21,14 @@ from __future__ import annotations
 
 import numpy as np
 
+import os as _os
+
 from . import arith as arithmod
 from . import rans4x16 as ransmod
+from .. import native as _native
 from ..utils import varint
+
+_USE_NATIVE = _os.environ.get("HTSCODECS_TPU_NATIVE", "1") != "0"
 
 # Token types (tokenise_name3.c:125-126)
 N_TYPE, N_ALPHA, N_CHAR, N_DIGITS0, N_DZLEN, N_DUP, N_DIFF, \
@@ -394,33 +399,36 @@ def encode_names(blk: bytes, level: int = 9, use_arith: bool = False,
 
     # bytes <= '\n' (or with the top bit set, which C's signed-char
     # comparison also treats as separators) terminate names
-    def is_sep(b):
-        return b <= 10 or b >= 128
-
-    nreads = sum(1 for b in blk if is_sep(b))
+    arr = np.frombuffer(blk, np.uint8)
+    seps = np.flatnonzero((arr <= 10) | (arr >= 128))
+    nreads = len(seps)
     if nreads <= 0:
         raise ValueError("no complete names in block")
     if nreads > MAX_NAMES:
         raise ValueError("name codec caps at 10 million records")
 
-    names = []
-    last_start = 0
-    i = 0
-    while i < length:
-        j = i
-        while i < length and not is_sep(blk[i]):
-            i += 1
-        if i >= length:
-            break
-        names.append(blk[j:i])
-        last_start = i + 1
-        i += 1
+    starts_a = np.empty(nreads, np.int64)
+    starts_a[0] = 0
+    starts_a[1:] = seps[:-1] + 1
+    lens_a = seps - starts_a
+    last_start = int(seps[-1]) + 1
 
     ctx = _Ctx(nreads)
-    for n, name in enumerate(names):
-        _build_trie(ctx, name, n)
-    for name in names:
-        _encode_name(ctx, name, 1)
+    tokenized = False
+    if _USE_NATIVE and _native.available():
+        r = _native.tok3_tokenize(blk, starts_a, lens_a)
+        if r is not None:
+            desc_map, max_tok = r
+            ctx.desc = {t: bytearray(b) for t, b in desc_map.items()}
+            ctx.max_tok = max_tok
+            tokenized = True
+    if not tokenized:
+        names = [blk[starts_a[k]:starts_a[k] + lens_a[k]]
+                 for k in range(nreads)]
+        for n, name in enumerate(names):
+            _build_trie(ctx, name, n)
+        for name in names:
+            _encode_name(ctx, name, 1)
 
     # Drop all-MATCH TYPE streams when other streams for that token
     # exist (regenerable on decode).
@@ -594,7 +602,14 @@ def decode_names(buf) -> bytes:
             raise ValueError("corrupt tok3 stream")
         desc_buf[i] = desc_buf[j]
 
-    # Replay tokens.
+    # Replay tokens (native when available; it returns None on corrupt
+    # streams and the Python replay below re-raises precisely).
+    if _USE_NATIVE and _native.available():
+        r = _native.tok3_detokenize(
+            {t: bytes(b) for t, b in desc_buf.items()},
+            max_tok, nreads, ulen + 16 * (nreads + 2) + 1024)
+        if r is not None:
+            return r
     desc = {i: [b, 0] for i, b in desc_buf.items()}  # buf, cursor
 
     def get_type(ntok):

@@ -86,6 +86,11 @@ def get_lib():
              [u8p, i64, u8p, i64, u8p, i32p, ctypes.c_int32, i32p])
         _sig(lib.r8_build_tables_o1_dense, i64,
              [u8p, i64, u8p, i64, u8p, i32p, ctypes.c_int32, i32p])
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        _sig(lib.tok3_tokenize, i64,
+             [u8p, i64p, i64p, i64, u8p, i64, i64p, i32p])
+        _sig(lib.tok3_detokenize, i64,
+             [u8p, i64p, i64p, ctypes.c_int32, i64, u8p, i64])
         _sig(lib.r16_gather_params_o1, i64, [u8p, i64, u32p, u32p, u16p, u16p])
         for nm in ("arith_enc_o0", "arith_enc_o1", "arith_enc_o0_rle",
                    "arith_enc_o1_rle", "arith_dec_o0", "arith_dec_o1",
@@ -334,6 +339,69 @@ def parse_tables_o1_dense(blob, max_a: int = 96):
     n = na.value
     return (int(off), alpha[:n].copy(),
             packed[:n * n].reshape(n, n).copy(), int(sh.value))
+
+
+MAX_TBLOCKS = 128 * 16
+
+
+def tok3_tokenize(blk: bytes, starts: np.ndarray, lens: np.ndarray):
+    """Native name tokeniser.  Returns ({tid: descriptor bytes},
+    max_tok) or None (unsupported input -> Python path)."""
+    lib = get_lib()
+    a, ap = _u8(np.frombuffer(blk, dtype=np.uint8))
+    st = np.ascontiguousarray(starts, np.int64)
+    ln = np.ascontiguousarray(lens, np.int64)
+    nreads = len(st)
+    dlens = np.zeros(MAX_TBLOCKS, np.int64)
+    mt = ctypes.c_int32(0)
+    cap = 2 * len(a) + 24 * nreads + 65536
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    for _ in range(2):
+        arena = np.empty(cap, np.uint8)
+        r = lib.tok3_tokenize(
+            ap, st.ctypes.data_as(i64p), ln.ctypes.data_as(i64p), nreads,
+            arena.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+            dlens.ctypes.data_as(i64p), ctypes.byref(mt))
+        if r >= 0:
+            desc = {}
+            off = 0
+            for t in range(MAX_TBLOCKS):
+                if dlens[t]:
+                    desc[t] = arena[off:off + dlens[t]].tobytes()
+                    off += dlens[t]
+            return desc, int(mt.value)
+        if r <= -10:                 # arena too small: exact size given
+            cap = int(-r - 10)
+            continue
+        return None
+    return None
+
+
+def tok3_detokenize(desc: dict, max_tok: int, nreads: int, out_cap: int):
+    """Native token replay.  desc: {tid: decompressed bytes}.
+    Returns the NUL-separated names blob or None (corrupt / Python
+    path)."""
+    lib = get_lib()
+    doffs = np.full(MAX_TBLOCKS, 0, np.int64)
+    dls = np.full(MAX_TBLOCKS, -1, np.int64)
+    total = sum(len(b) for b in desc.values())
+    arena = np.empty(max(total, 1), np.uint8)
+    off = 0
+    for t, b in desc.items():
+        doffs[t] = off
+        dls[t] = len(b)
+        arena[off:off + len(b)] = np.frombuffer(b, np.uint8)
+        off += len(b)
+    out = np.empty(out_cap, np.uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    r = lib.tok3_detokenize(
+        arena.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        doffs.ctypes.data_as(i64p), dls.ctypes.data_as(i64p),
+        max_tok, nreads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_cap)
+    if r < 0:
+        return None
+    return out[:r].tobytes()
 
 
 def parse_tables_o0(blob):

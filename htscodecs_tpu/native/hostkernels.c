@@ -1614,3 +1614,680 @@ API int64_t fqz_dec(const uint8_t *in, int64_t n, int64_t total,
     free(md.qual);
     return -1;
 }
+
+/* ---------------------------------------------------------------- */
+/* tokenise_name3: native tokenizer + token replay.
+ *
+ * Exact port of the models/tok3.py tokenizer (itself golden-tested
+ * against tokenise_name3.c:505-712,729-1002 and :1018-1190): trie
+ * diff search with platform prefix heuristics, typed column tokens,
+ * the DDELTA (5+dcount)>icount heuristic, and the decoder's token
+ * replay against the lc[] history.  Descriptor framing/compression
+ * stays in Python. */
+
+enum { T_TYPE = 0, T_ALPHA, T_CHAR, T_DIGITS0, T_DZLEN, T_DUP, T_DIFF,
+       T_DIGITS, T_DDELTA, T_DDELTA0, T_MATCH, T_NOP, T_END };
+enum { TK_MAX_TOKENS = 128, TK_MAX_TBLOCKS = 128 * 16 };
+
+typedef struct { uint8_t *p; int64_t len, cap; } gbuf;
+
+static int gput(gbuf *g, const uint8_t *src, int64_t n) {
+    if (g->len + n > g->cap) {
+        int64_t nc = g->cap ? g->cap * 2 : 64;
+        while (nc < g->len + n) nc *= 2;
+        uint8_t *np = realloc(g->p, nc);
+        if (!np) return -1;
+        g->p = np;
+        g->cap = nc;
+    }
+    memcpy(g->p + g->len, src, n);
+    g->len += n;
+    return 0;
+}
+
+static int gputc(gbuf *g, uint8_t c) { return gput(g, &c, 1); }
+
+static int gput_u32le(gbuf *g, uint32_t v) {
+    uint8_t b[4] = { (uint8_t)v, (uint8_t)(v >> 8), (uint8_t)(v >> 16),
+                     (uint8_t)(v >> 24) };
+    return gput(g, b, 4);
+}
+
+/* trie with sibling-list children (fanout is small for read names) */
+typedef struct { int32_t n; int32_t first; } tnode;
+typedef struct { int32_t node, next; uint8_t c; } tchild;
+
+typedef struct {
+    tnode *nodes; int64_t nn, ncap;
+    tchild *kids; int64_t nk, kcap;
+} trie;
+
+static int32_t trie_node(trie *t, int32_t n) {
+    if (t->nn == t->ncap) {
+        t->ncap = t->ncap ? t->ncap * 2 : 4096;
+        tnode *np = realloc(t->nodes, t->ncap * sizeof(tnode));
+        if (!np) return -1;
+        t->nodes = np;
+    }
+    t->nodes[t->nn].n = n;
+    t->nodes[t->nn].first = -1;
+    return (int32_t)t->nn++;
+}
+
+static int32_t trie_child(trie *t, int32_t node, uint8_t c, int32_t nameid,
+                          int create) {
+    int32_t k = t->nodes[node].first;
+    while (k >= 0) {
+        if (t->kids[k].c == c) return t->kids[k].node;
+        k = t->kids[k].next;
+    }
+    if (!create) return -1;
+    if (t->nk == t->kcap) {
+        t->kcap = t->kcap ? t->kcap * 2 : 8192;
+        tchild *np = realloc(t->kids, t->kcap * sizeof(tchild));
+        if (!np) return -1;
+        t->kids = np;
+    }
+    int32_t nn = trie_node(t, nameid);
+    if (nn < 0) return -1;
+    int32_t nk = (int32_t)t->nk++;
+    t->kids[nk].c = c;
+    t->kids[nk].node = nn;
+    t->kids[nk].next = t->nodes[node].first;
+    t->nodes[node].first = nk;
+    return nn;
+}
+
+typedef struct {
+    int32_t name_off, name_len, ntok;
+    uint8_t *types;
+    int32_t *ints, *strs;
+} lcrec;
+
+typedef struct {
+    gbuf desc[TK_MAX_TBLOCKS];
+    int32_t dcount[TK_MAX_TOKENS], icount[TK_MAX_TOKENS];
+    int32_t max_tok;
+    trie tr;
+    lcrec *lc;
+    uint8_t *tarena;   /* types/ints/strs backing store */
+    const uint8_t *blk;
+} tok3ctx;
+
+static int tk_is_alpha(uint8_t c) {
+    return (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z');
+}
+static int tk_is_alpha_punct(uint8_t c) {
+    return c >= 33 && c <= 126 && !(c >= '0' && c <= '9');
+}
+static int tk_is_digit(uint8_t c) { return c >= '0' && c <= '9'; }
+
+/* returns (end<<32)|value packed via out params */
+static int64_t tk_scan_digits(const uint8_t *name, int64_t i, int64_t length,
+                              uint32_t *vout) {
+    int64_t s = i;
+    uint32_t v = 0;
+    while (s < length && tk_is_digit(name[s]) && s - i < 9) {
+        v = v * 10 + (uint32_t)(name[s] - '0');
+        s++;
+    }
+    *vout = v;
+    return s;
+}
+
+/* trie search with platform prefix heuristics; returns pnum (or -1),
+ * sets exact/is_fixed/fixed_len */
+static int64_t tk_search(tok3ctx *cx, const uint8_t *name, int64_t length,
+                         int64_t n, int *exact, int *is_fixed,
+                         int64_t *fixed_len) {
+    const uint8_t *d = name;
+    int64_t l = length;
+    *exact = 0;
+    *fixed_len = 0;
+    *is_fixed = 0;
+    if (length && name[0] == '@') { d = name + 1; l = length - 1; }
+    int f = (length && name[0] == '>') ? 1 : 0;
+    int64_t prefix_len;
+    if (l > 70 && d[f + 0] == 'm' && d[7] == '_' && d[f + 14] == '_'
+            && d[f + 61] == '/') {
+        prefix_len = 60;
+    } else if (l == 17 && d[f + 5] == ':' && d[f + 11] == ':') {
+        prefix_len = 6; *fixed_len = 6; *is_fixed = 1;
+    } else if (l > 37 && d[f + 8] == '-' && d[f + 13] == '-'
+            && d[f + 18] == '-' && d[f + 23] == '-'
+            && ((d[f + 0] >= '0' && d[f + 0] <= '9')
+                || (d[f + 0] >= 'a' && d[f + 0] <= 'f'))
+            && ((d[f + 35] >= '0' && d[f + 35] <= '9')
+                || (d[f + 35] >= 'a' && d[f + 35] <= 'f'))) {
+        prefix_len = 37; *fixed_len = 37; *is_fixed = 1;
+    } else {
+        int64_t i = 0;
+        while (i < length && name[i] > ' ') i++;
+        int colons = 0;
+        while (i > 0 && colons < 4) {
+            i--;
+            if (name[i] == ':') colons++;
+        }
+        if (colons == 4) {
+            *fixed_len = i + 1; prefix_len = i + 1; *is_fixed = 1;
+        } else {
+            prefix_len = 0x7FFFFFFF;
+        }
+    }
+    int32_t t = 0;
+    int64_t from = -1, p3 = -1, i = 0;
+    for (int64_t k = 0; k < length; k++) {
+        i++;
+        t = trie_child(&cx->tr, t, name[k] & 127, 0, 0);
+        if (t < 0) return -2;      /* must exist (built in pass 1) */
+        from = cx->tr.nodes[t].n;
+        if (i == prefix_len) p3 = cx->tr.nodes[t].n;
+        cx->tr.nodes[t].n = (int32_t)n;
+    }
+    *exact = (n != from && length) ? 1 : 0;
+    return *exact ? from : p3;
+}
+
+static int tk_put(tok3ctx *cx, int tid, const uint8_t *b, int64_t n) {
+    return gput(&cx->desc[tid], b, n);
+}
+static int tk_putc(tok3ctx *cx, int tid, uint8_t c) {
+    return gputc(&cx->desc[tid], c);
+}
+
+static void tk_bump(tok3ctx *cx, int32_t nt) {
+    if (nt >= cx->max_tok) {
+        cx->dcount[cx->max_tok] = 0;
+        cx->icount[cx->max_tok] = 0;
+        cx->max_tok = nt + 1;
+    }
+}
+
+static int tk_encode_name(tok3ctx *cx, int64_t cnum, const uint8_t *name,
+                          int64_t length) {
+    int exact, is_fixed;
+    int64_t fixed_len;
+    int64_t pnum = tk_search(cx, name, length, cnum, &exact, &is_fixed,
+                             &fixed_len);
+    if (pnum == -2) return -1;
+    if (pnum < 0) pnum = cnum ? cnum - 1 : 0;
+
+    lcrec *plc = &cx->lc[pnum];
+    lcrec empty = { 0, 0, 0, NULL, NULL, NULL };
+    if (pnum == cnum) plc = &empty;   /* self-reference, never read */
+    const uint8_t *p_name = cx->blk + plc->name_off;
+
+    if (exact && length == plc->name_len) {
+        if (tk_putc(cx, 0, T_DUP)) return -1;
+        if (gput_u32le(&cx->desc[T_DUP], (uint32_t)(cnum - pnum))) return -1;
+        lcrec *me = &cx->lc[cnum];
+        *me = *plc;
+        me->name_off = (int32_t)(name - cx->blk);
+        me->name_len = (int32_t)length;
+        return 0;
+    }
+
+    if (tk_putc(cx, 0, T_DIFF)) return -1;
+    if (gput_u32le(&cx->desc[T_DIFF], (uint32_t)(cnum - pnum))) return -1;
+
+    lcrec *me = &cx->lc[cnum];
+    me->name_off = (int32_t)(name - cx->blk);
+    me->name_len = (int32_t)length;
+    me->types = cx->tarena + (size_t)cnum * TK_MAX_TOKENS * 9;
+    me->ints = (int32_t *)(me->types + TK_MAX_TOKENS);
+    me->strs = me->ints + TK_MAX_TOKENS;
+    memset(me->types, 0, TK_MAX_TOKENS);
+    uint8_t *types = me->types;
+    int32_t *ints = me->ints;
+    int32_t *strs = me->strs;
+
+    int usable_prev = pnum < cnum;
+    int32_t p_ntok = plc->ntok;
+    const uint8_t *p_types = plc->types;
+    const int32_t *p_ints = plc->ints;
+    const int32_t *p_strs = plc->strs;
+
+    int32_t ntok = 1;
+    int64_t i = 0;
+
+    if (is_fixed) {
+        if (ntok >= TK_MAX_TOKENS) return -1;
+        tk_bump(cx, ntok);
+        if (usable_prev && ntok < p_ntok && p_types[ntok] == T_ALPHA
+                && p_ints[ntok] == fixed_len
+                && !memcmp(name, p_name, fixed_len)) {
+            if (tk_putc(cx, ntok << 4, T_MATCH)) return -1;
+        } else {
+            if (tk_putc(cx, ntok << 4, T_ALPHA)) return -1;
+            if (tk_put(cx, (ntok << 4) | T_ALPHA, name, fixed_len)) return -1;
+            if (tk_putc(cx, (ntok << 4) | T_ALPHA, 0)) return -1;
+        }
+        ints[ntok] = (int32_t)fixed_len;
+        strs[ntok] = 0;
+        types[ntok] = T_ALPHA;
+        ntok++;
+        i = fixed_len;
+    }
+
+    while (i < length) {
+        if (ntok >= TK_MAX_TOKENS) return -1;
+        tk_bump(cx, ntok);
+        uint8_t c = name[i];
+        int as_digits0 = 0;
+
+        if (tk_is_alpha(c)) {
+            int64_t s = i + 1;
+            while (s < length && tk_is_alpha_punct(name[s])) s++;
+            if (s - i == 1) {
+                if (usable_prev && ntok < p_ntok && p_types[ntok] == T_CHAR
+                        && c == p_ints[ntok]) {
+                    if (tk_putc(cx, ntok << 4, T_MATCH)) return -1;
+                } else {
+                    if (tk_putc(cx, ntok << 4, T_CHAR)) return -1;
+                    if (tk_putc(cx, (ntok << 4) | T_CHAR, c)) return -1;
+                }
+                ints[ntok] = c;
+                types[ntok] = T_CHAR;
+            } else {
+                if (usable_prev && ntok < p_ntok && p_types[ntok] == T_ALPHA
+                        && s - i == p_ints[ntok]
+                        && !memcmp(name + i, p_name + p_strs[ntok], s - i)) {
+                    if (tk_putc(cx, ntok << 4, T_MATCH)) return -1;
+                } else {
+                    if (tk_putc(cx, ntok << 4, T_ALPHA)) return -1;
+                    if (tk_put(cx, (ntok << 4) | T_ALPHA, name + i, s - i))
+                        return -1;
+                    if (tk_putc(cx, (ntok << 4) | T_ALPHA, 0)) return -1;
+                }
+                ints[ntok] = (int32_t)(s - i);
+                strs[ntok] = (int32_t)i;
+                types[ntok] = T_ALPHA;
+                i = s - 1;
+            }
+        } else if (c == '0') {
+            as_digits0 = 1;
+        } else if (tk_is_digit(c)) {
+            uint32_t v;
+            int64_t s = tk_scan_digits(name, i, length, &v);
+            if (usable_prev && ntok < p_ntok && p_types[ntok] == T_DIGITS0
+                    && p_strs[ntok] == s - i) {
+                as_digits0 = 1;
+            } else {
+                if (usable_prev && ntok < p_ntok
+                        && p_types[ntok] == T_DIGITS) {
+                    int64_t dd = (int64_t)v - p_ints[ntok];
+                    if (dd == 0) {
+                        if (tk_putc(cx, ntok << 4, T_MATCH)) return -1;
+                    } else if (dd >= 0 && dd < 256
+                               && (5 + cx->dcount[ntok]) > cx->icount[ntok]) {
+                        if (tk_putc(cx, ntok << 4, T_DDELTA)) return -1;
+                        if (tk_putc(cx, (ntok << 4) | T_DDELTA, (uint8_t)dd))
+                            return -1;
+                        cx->dcount[ntok]++;
+                    } else {
+                        if (tk_putc(cx, ntok << 4, T_DIGITS)) return -1;
+                        if (gput_u32le(&cx->desc[(ntok << 4) | T_DIGITS], v))
+                            return -1;
+                        cx->icount[ntok]++;
+                    }
+                } else {
+                    if (tk_putc(cx, ntok << 4, T_DIGITS)) return -1;
+                    if (gput_u32le(&cx->desc[(ntok << 4) | T_DIGITS], v))
+                        return -1;
+                }
+                ints[ntok] = (int32_t)v;
+                types[ntok] = T_DIGITS;
+                i = s - 1;
+            }
+        } else {
+            if (usable_prev && ntok < p_ntok && p_types[ntok] == T_CHAR
+                    && c == p_ints[ntok]) {
+                if (tk_putc(cx, ntok << 4, T_MATCH)) return -1;
+            } else {
+                if (tk_putc(cx, ntok << 4, T_CHAR)) return -1;
+                if (tk_putc(cx, (ntok << 4) | T_CHAR, c)) return -1;
+            }
+            ints[ntok] = c;
+            types[ntok] = T_CHAR;
+        }
+
+        if (as_digits0) {
+            uint32_t v;
+            int64_t s = tk_scan_digits(name, i, length, &v);
+            if (usable_prev && ntok < p_ntok && p_types[ntok] == T_DIGITS0) {
+                int64_t dd = (int64_t)v - p_ints[ntok];
+                if (dd == 0 && p_strs[ntok] == s - i) {
+                    if (tk_putc(cx, ntok << 4, T_MATCH)) return -1;
+                } else if (dd >= 0 && dd < 256 && p_strs[ntok] == s - i) {
+                    if (tk_putc(cx, ntok << 4, T_DDELTA0)) return -1;
+                    if (tk_putc(cx, (ntok << 4) | T_DDELTA0, (uint8_t)dd))
+                        return -1;
+                } else {
+                    if (tk_putc(cx, (ntok << 4) | T_DZLEN, (uint8_t)(s - i)))
+                        return -1;
+                    if (tk_putc(cx, ntok << 4, T_DIGITS0)) return -1;
+                    if (gput_u32le(&cx->desc[(ntok << 4) | T_DIGITS0], v))
+                        return -1;
+                }
+            } else {
+                if (tk_putc(cx, (ntok << 4) | T_DZLEN, (uint8_t)(s - i)))
+                    return -1;
+                if (tk_putc(cx, ntok << 4, T_DIGITS0)) return -1;
+                if (gput_u32le(&cx->desc[(ntok << 4) | T_DIGITS0], v))
+                    return -1;
+            }
+            strs[ntok] = (int32_t)(s - i);
+            ints[ntok] = (int32_t)v;
+            types[ntok] = T_DIGITS0;
+            i = s - 1;
+        }
+
+        ntok++;
+        i++;
+    }
+
+    if (ntok >= TK_MAX_TOKENS) return -1;
+    tk_bump(cx, ntok);
+    if (tk_putc(cx, ntok << 4, T_END)) return -1;
+    me->ntok = ntok;
+    return 0;
+}
+
+/* Tokenise a block of names.  starts/lens: per-name slices into blk.
+ * On success fills dlens[TK_MAX_TBLOCKS] and writes the descriptor
+ * streams concatenated in tid order into arena; returns total bytes
+ * (or the required size if > arena_cap, negated - caller retries).
+ * Returns -1 on unsupported input (8-bit bytes, token overflow). */
+API int64_t tok3_tokenize(const uint8_t *blk, const int64_t *starts,
+                          const int64_t *lens, int64_t nreads,
+                          uint8_t *arena, int64_t arena_cap,
+                          int64_t *dlens, int32_t *max_tok_out) {
+    tok3ctx *cx = calloc(1, sizeof(tok3ctx));
+    if (!cx) return -1;
+    cx->max_tok = 1;
+    cx->blk = blk;
+    cx->lc = calloc(nreads + 1, sizeof(lcrec));
+    cx->tarena = malloc((size_t)(nreads + 1) * TK_MAX_TOKENS * 9);
+    int64_t ret = -1;
+    if (!cx->lc || !cx->tarena) goto done;
+    if (trie_node(&cx->tr, 0) != 0) goto done;
+
+    /* pass 1: build the trie */
+    for (int64_t n = 0; n < nreads; n++) {
+        const uint8_t *name = blk + starts[n];
+        int32_t t = 0;
+        for (int64_t k = 0; k < lens[n]; k++) {
+            if (name[k] & 0x80) goto done;      /* 8-bit: python path */
+            t = trie_child(&cx->tr, t, name[k], (int32_t)n, 1);
+            if (t < 0) goto done;
+        }
+    }
+    /* pass 2: encode */
+    for (int64_t n = 0; n < nreads; n++) {
+        if (tk_encode_name(cx, n, blk + starts[n], lens[n]) < 0)
+            goto done;
+    }
+    {
+        int64_t tot = 0;
+        for (int t = 0; t < TK_MAX_TBLOCKS; t++) {
+            dlens[t] = cx->desc[t].len;
+            tot += cx->desc[t].len;
+        }
+        *max_tok_out = cx->max_tok;
+        if (tot > arena_cap) {
+            ret = -tot - 10;       /* signal required size */
+            goto done;
+        }
+        int64_t off = 0;
+        for (int t = 0; t < TK_MAX_TBLOCKS; t++) {
+            if (cx->desc[t].len) {
+                memcpy(arena + off, cx->desc[t].p, cx->desc[t].len);
+                off += cx->desc[t].len;
+            }
+        }
+        ret = tot;
+    }
+done:
+    for (int t = 0; t < TK_MAX_TBLOCKS; t++) free(cx->desc[t].p);
+    free(cx->tr.nodes);
+    free(cx->tr.kids);
+    free(cx->lc);
+    free(cx->tarena);
+    free(cx);
+    return ret;
+}
+
+/* token replay: decode names from decompressed descriptor streams.
+ * doffs/dls: per-tid slices into arena (dls=-1 for absent).
+ * Returns bytes written to out (NUL-terminated names), or -1. */
+API int64_t tok3_detokenize(const uint8_t *arena, const int64_t *doffs,
+                            const int64_t *dls, int32_t max_tok,
+                            int64_t nreads, uint8_t *out, int64_t out_cap) {
+    int64_t *cur = calloc(TK_MAX_TBLOCKS, sizeof(int64_t));
+    lcrec *lc = calloc(nreads + 1, sizeof(lcrec));
+    uint8_t *tarena = malloc((size_t)(nreads + 1) * TK_MAX_TOKENS * 9);
+    int64_t olen = 0, ret = -1;
+    if (!cur || !lc || !tarena) goto done;
+
+#define TK_GET_TYPE(ntok, v) do { \
+        int _t = (ntok) << 4; \
+        if (dls[_t] < 0 || cur[_t] >= dls[_t]) { v = -1; } \
+        else { v = arena[doffs[_t] + cur[_t]++]; } \
+    } while (0)
+
+    int64_t counter = 0;
+    for (;;) {
+        int64_t cnum = counter;
+        if (cnum >= nreads + 1) goto done;
+        counter++;
+        int t0;
+        TK_GET_TYPE(0, t0);
+        if (t0 < 0 || t0 >= max_tok * 16) { counter--; break; }
+        int dtid = t0;     /* 0<<4 | t0 */
+        if (dls[dtid] < 0 || cur[dtid] + 4 > dls[dtid]) goto done;
+        const uint8_t *dp = arena + doffs[dtid] + cur[dtid];
+        cur[dtid] += 4;
+        uint32_t dist = dp[0] | (dp[1] << 8) | (dp[2] << 16)
+            | ((uint32_t)dp[3] << 24);
+        if (dist > (uint64_t)cnum) goto done;
+        int64_t pnum = cnum - dist;
+        if (pnum < 0) pnum = 0;
+
+        if (t0 == T_DUP) {
+            if (pnum == cnum || lc[pnum].types == NULL) goto done;
+            lcrec *plc = &lc[pnum];
+            if (olen + plc->name_len + 1 > out_cap) goto done;
+            memcpy(out + olen, out + plc->name_off, plc->name_len);
+            lc[cnum] = *plc;
+            lc[cnum].name_off = (int32_t)olen;
+            olen += plc->name_len;
+            out[olen++] = 0;
+            continue;
+        }
+
+        lcrec empty = { 0, 0, 0, NULL, NULL, NULL };
+        lcrec *plc = (lc[pnum].types != NULL) ? &lc[pnum] : &empty;
+        lcrec *me = &lc[cnum];
+        me->name_off = (int32_t)olen;
+        me->types = tarena + (size_t)cnum * TK_MAX_TOKENS * 9;
+        me->ints = (int32_t *)(me->types + TK_MAX_TOKENS);
+        me->strs = me->ints + TK_MAX_TOKENS;
+        memset(me->types, 0, TK_MAX_TOKENS);
+        uint8_t *types = me->types;
+        int32_t *ints = me->ints;
+        int32_t *strs = me->strs;
+        const uint8_t *p_name = out + plc->name_off;
+        int ended = 0;
+        int lim = max_tok < TK_MAX_TOKENS ? max_tok : TK_MAX_TOKENS;
+
+#define TK_NEED(n_) do { if (olen + (n_) + 1 > out_cap) goto done; } while (0)
+#define TK_GET(tid_, n_, ptr_) do { \
+        if (dls[tid_] < 0 || cur[tid_] + (n_) > dls[tid_]) goto done; \
+        ptr_ = arena + doffs[tid_] + cur[tid_]; \
+        cur[tid_] += (n_); \
+    } while (0)
+
+        for (int ntok = 1; ntok < lim; ntok++) {
+            int tok;
+            TK_GET_TYPE(ntok, tok);
+            const uint8_t *bp;
+            if (tok == T_CHAR) {
+                TK_GET((ntok << 4) | T_CHAR, 1, bp);
+                TK_NEED(1);
+                out[olen++] = bp[0];
+                types[ntok] = T_CHAR;
+                ints[ntok] = bp[0];
+            } else if (tok == T_ALPHA) {
+                int tid = (ntok << 4) | T_ALPHA;
+                if (dls[tid] < 0 || cur[tid] >= dls[tid]) goto done;
+                const uint8_t *d0 = arena + doffs[tid];
+                int64_t e = cur[tid];
+                while (e < dls[tid] && d0[e]) e++;
+                int64_t alen;
+                if (e >= dls[tid]) {            /* unterminated */
+                    e = dls[tid] - 1;
+                    alen = e - cur[tid];
+                } else {
+                    alen = e - cur[tid];
+                }
+                TK_NEED(alen);
+                types[ntok] = T_ALPHA;
+                strs[ntok] = (int32_t)(olen - me->name_off);
+                ints[ntok] = (int32_t)alen;
+                memcpy(out + olen, d0 + cur[tid], alen);
+                olen += alen;
+                cur[tid] = e + 1;
+            } else if (tok == T_DIGITS0) {
+                const uint8_t *lp;
+                TK_GET((ntok << 4) | T_DZLEN, 1, lp);
+                TK_GET((ntok << 4) | T_DIGITS0, 4, bp);
+                uint32_t v = bp[0] | (bp[1] << 8) | (bp[2] << 16)
+                    | ((uint32_t)bp[3] << 24);
+                int l = lp[0] > 9 ? 9 : lp[0];
+                TK_NEED(l);
+                uint32_t vv = v;
+                for (int k = l; k > 0; k--) {
+                    uint32_t p10 = 1;
+                    for (int z = 1; z < k; z++) p10 *= 10;
+                    out[olen++] = (uint8_t)(48 + vv / p10);
+                    vv %= p10;
+                }
+                types[ntok] = T_DIGITS0;
+                ints[ntok] = (int32_t)v;
+                strs[ntok] = lp[0];
+            } else if (tok == T_DDELTA0) {
+                if (ntok >= plc->ntok) goto done;
+                TK_GET((ntok << 4) | T_DDELTA0, 1, bp);
+                uint32_t v = (uint32_t)(bp[0] + (uint32_t)plc->ints[ntok]);
+                int l = plc->strs[ntok] > 9 ? 9 : plc->strs[ntok];
+                if (l < 0) goto done;
+                TK_NEED(l);
+                uint32_t vv = v;
+                for (int k = l; k > 0; k--) {
+                    uint32_t p10 = 1;
+                    for (int z = 1; z < k; z++) p10 *= 10;
+                    out[olen++] = (uint8_t)(48 + vv / p10);
+                    vv %= p10;
+                }
+                types[ntok] = T_DIGITS0;
+                ints[ntok] = (int32_t)v;
+                strs[ntok] = plc->strs[ntok];
+            } else if (tok == T_DIGITS) {
+                TK_GET((ntok << 4) | T_DIGITS, 4, bp);
+                uint32_t v = bp[0] | (bp[1] << 8) | (bp[2] << 16)
+                    | ((uint32_t)bp[3] << 24);
+                TK_NEED(10);
+                if (v) {
+                    char tmp[12];
+                    int tl = 0;
+                    uint32_t vv = v;
+                    while (vv) { tmp[tl++] = (char)('0' + vv % 10); vv /= 10; }
+                    while (tl) out[olen++] = (uint8_t)tmp[--tl];
+                }
+                types[ntok] = T_DIGITS;
+                ints[ntok] = (int32_t)v;
+            } else if (tok == T_DDELTA) {
+                if (ntok >= plc->ntok) goto done;
+                TK_GET((ntok << 4) | T_DDELTA, 1, bp);
+                uint32_t v = (uint32_t)(bp[0] + (uint32_t)plc->ints[ntok]);
+                TK_NEED(10);
+                if (v) {
+                    char tmp[12];
+                    int tl = 0;
+                    uint32_t vv = v;
+                    while (vv) { tmp[tl++] = (char)('0' + vv % 10); vv /= 10; }
+                    while (tl) out[olen++] = (uint8_t)tmp[--tl];
+                }
+                types[ntok] = T_DIGITS;
+                ints[ntok] = (int32_t)v;
+            } else if (tok == T_NOP) {
+                types[ntok] = T_NOP;
+            } else if (tok == T_MATCH) {
+                if (ntok >= plc->ntok) goto done;
+                int pt = plc->types[ntok];
+                if (pt == T_CHAR) {
+                    TK_NEED(1);
+                    out[olen++] = (uint8_t)(plc->ints[ntok] & 0xFF);
+                    types[ntok] = T_CHAR;
+                    ints[ntok] = plc->ints[ntok];
+                } else if (pt == T_ALPHA) {
+                    if (plc->ints[ntok] < 0) goto done;
+                    int32_t alen = plc->ints[ntok];
+                    TK_NEED(alen);
+                    types[ntok] = T_ALPHA;
+                    strs[ntok] = (int32_t)(olen - me->name_off);
+                    ints[ntok] = alen;
+                    memcpy(out + olen, p_name + plc->strs[ntok], alen);
+                    olen += alen;
+                } else if (pt == T_DIGITS) {
+                    uint32_t v = (uint32_t)plc->ints[ntok];
+                    TK_NEED(10);
+                    if (v) {
+                        char tmp[12];
+                        int tl = 0;
+                        uint32_t vv = v;
+                        while (vv) { tmp[tl++] = (char)('0' + vv % 10); vv /= 10; }
+                        while (tl) out[olen++] = (uint8_t)tmp[--tl];
+                    }
+                    types[ntok] = T_DIGITS;
+                    ints[ntok] = plc->ints[ntok];
+                } else if (pt == T_DIGITS0) {
+                    uint32_t v = (uint32_t)plc->ints[ntok];
+                    int l = plc->strs[ntok] > 9 ? 9 : plc->strs[ntok];
+                    if (l < 0) goto done;
+                    TK_NEED(l);
+                    uint32_t vv = v;
+                    for (int k = l; k > 0; k--) {
+                        uint32_t p10 = 1;
+                        for (int z = 1; z < k; z++) p10 *= 10;
+                        out[olen++] = (uint8_t)(48 + vv / p10);
+                        vv %= p10;
+                    }
+                    types[ntok] = T_DIGITS0;
+                    ints[ntok] = plc->ints[ntok];
+                    strs[ntok] = plc->strs[ntok];
+                } else {
+                    goto done;
+                }
+            } else {    /* T_END or elided */
+                types[ntok] = T_END;
+                me->ntok = ntok;
+                me->name_len = (int32_t)(olen - me->name_off);
+                if (olen + 1 > out_cap) goto done;
+                out[olen++] = 0;
+                ended = 1;
+                break;
+            }
+        }
+        if (!ended) goto done;
+    }
+    ret = olen;
+done:
+    free(cur);
+    free(lc);
+    free(tarena);
+    return ret;
+#undef TK_GET_TYPE
+#undef TK_GET
+#undef TK_NEED
+}

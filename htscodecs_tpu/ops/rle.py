@@ -49,18 +49,32 @@ def encode(data: np.ndarray, rle_syms: np.ndarray | None = None):
     lens = np.diff(np.append(starts, n))
     vals = data[starts]
 
-    runs = bytearray()
     keep = in_rle[vals]
-    lits_parts = []
-    # Literals: one byte per run for RLE'd symbols, the full run otherwise.
-    for s, ln, v, k in zip(starts, lens, vals, keep):
-        if k:
-            lits_parts.append(data[s:s + 1])
-            varint.put_uint(runs, int(ln) - 1)
-        else:
-            lits_parts.append(data[s:s + ln])
-    lits = np.concatenate(lits_parts) if lits_parts else np.zeros(0, dtype=np.uint8)
-    return lits, bytes(runs), rle_syms
+    # Literals: one byte per run for RLE'd symbols, the full run
+    # otherwise — select positions with a mask (run start, or any
+    # position of a non-RLE run).
+    run_id = np.cumsum(change) - 1
+    lit_mask = change | ~keep[run_id]
+    lits = data[lit_mask]
+    # Run lengths as big-endian 7-bit varints, vectorised by width.
+    rl = (lens[keep] - 1).astype(np.int64)
+    if len(rl) == 0:
+        return lits, b"", rle_syms
+    nb = np.ones(len(rl), np.int64)
+    for thr in (1 << 7, 1 << 14, 1 << 21, 1 << 28):
+        nb += rl >= thr
+    ends = np.cumsum(nb)
+    runs = np.zeros(int(ends[-1]), np.uint8)
+    pos0 = ends - 1                       # last (low-7-bits) byte
+    runs[pos0] = rl & 0x7F
+    rest = rl >> 7
+    shiftpos = pos0
+    while (rest > 0).any():
+        m = rest > 0
+        shiftpos = shiftpos - 1
+        runs[shiftpos[m]] = (rest[m] & 0x7F) | 0x80
+        rest = rest >> 7
+    return lits, runs.tobytes(), rle_syms
 
 
 def decode(lits, runs: bytes, rle_syms, out_len_max: int):
@@ -68,24 +82,20 @@ def decode(lits, runs: bytes, rle_syms, out_len_max: int):
     in_rle = np.zeros(256, dtype=bool)
     in_rle[np.asarray(rle_syms, dtype=np.uint8)] = True
 
-    out = np.empty(out_len_max, dtype=np.uint8)
+    lits = np.asarray(lits, dtype=np.uint8)
+    is_run = in_rle[lits]
+    nrun = int(is_run.sum())
+    # parse nrun varints sequentially (get_uint reads 0 at exhaustion,
+    # like the reference's safe variant), expand with one np.repeat
+    rlens = np.empty(nrun, np.int64)
     rpos = 0
     rend = len(runs)
-    opos = 0
-    for b in lits:
-        if opos >= out_len_max:
-            return None
-        if not in_rle[b]:
-            out[opos] = b
-            opos += 1
-        else:
-            rlen, rpos = varint.get_uint(runs, rpos, rend)
-            if rlen:
-                if opos + rlen >= out_len_max:
-                    return None
-                out[opos:opos + rlen + 1] = b
-                opos += rlen + 1
-            else:
-                out[opos] = b
-                opos += 1
-    return out[:opos]
+    for k in range(nrun):
+        rlens[k], rpos = varint.get_uint(runs, rpos, rend)
+    counts = np.ones(len(lits), np.int64)
+    counts[is_run] += rlens
+    # the scalar loop rejects exactly when any prefix would pass
+    # out_len_max; with positive counts that is total > out_len_max
+    if int(counts.sum()) > out_len_max:
+        return None
+    return np.repeat(lits, counts)
