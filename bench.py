@@ -33,7 +33,7 @@ import time
 import numpy as np
 
 BASELINE_AGG_MBPS = 200.0
-B = 8192
+B = 12288
 G = 8
 N = 65536
 REPS = 3
