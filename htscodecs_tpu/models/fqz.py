@@ -255,21 +255,75 @@ def qual_stats(lens, flags, data: np.ndarray, pm: Param, qhist, one_param: int):
 
     max_sel = 0
     has_r2 = 0
-    num_rec = 0
-    for rec in range(num_records):
-        if one_param >= 0 and (flags[rec] >> 16) != one_param:
-            continue
-        num_rec += 1
-        if max_sel < (flags[rec] >> 16):
-            max_sel = flags[rec] >> 16
-        if flags[rec] & FQZ_FREAD2:
-            has_r2 = 1
+    fl_np = np.asarray(flags[:num_records], np.int64)
+    sel_np = fl_np >> 16
+    if one_param >= 0:
+        selmask = sel_np == one_param
+    else:
+        selmask = np.ones(num_records, bool)
+    num_rec = int(selmask.sum())
+    if num_rec:
+        max_sel = int(sel_np[selmask].max())
+        has_r2 = 1 if (fl_np[selmask] & FQZ_FREAD2).any() else 0
 
+    # Vectorised fast path (default single-param analysis): the
+    # per-record bookkeeping loop stays scalar for exactness, but all
+    # histogram accumulation collapses into global bincounts over
+    # per-position index arrays (5 np.add.at calls per record was the
+    # dominant fqz encode cost).
+    fast = one_param < 0
+    seg_bounds = []          # (start, len, reclen, dir2, rec) per segment
     avg_qual = [0] * (num_records + 1)
     do_dedup = 0
     last_len = 0
     rec = 0
     i = 0
+    sums = None
+    pos_all = dat_all = dir_all = rec_all = None
+    if fast and num_records and in_size:
+        ls = np.asarray(lens[:num_records], np.int64)
+        st = np.zeros(num_records, np.int64)
+        np.cumsum(ls[:-1], out=st[1:])
+        if (ls > 0).all() and int(ls.sum()) <= in_size:
+            # ---- fully vectorised single-param analysis ----
+            tail = in_size - int(ls.sum())
+            nseg = num_records + (1 if tail > 0 else 0)
+            ls_e = ls
+            st_e = st
+            if tail > 0:
+                ls_e = np.append(ls, tail)
+                st_e = np.append(st, in_size - tail)
+            d64 = data.astype(np.int64)
+            sums_e = np.add.reduceat(d64, st_e)
+            d2f = np.zeros(nseg, np.int64)
+            d2f[:num_records] = (np.asarray(flags[:num_records], np.int64)
+                                 & FQZ_FREAD2) != 0
+            # avg_qual: identical float op order per element
+            tots = ((sums_e * 10.0) / ls_e + 0.5).astype(np.int64)
+            k = min(nseg, num_records + 1)
+            avg_qual[:k] = tots[:k].tolist()
+            avg += np.bincount(np.minimum(2559, tots), minlength=2560)
+            # dedup: adjacent records of equal length, bytewise equal —
+            # shifted-compare + cumsum, one data pass per distinct length
+            cand = np.flatnonzero((ls[1:] == ls[:-1]) & (st[1:] > 0)) + 1
+            if len(cand):
+                for Lv in np.unique(ls[cand]):
+                    L = int(Lv)
+                    sel = cand[ls[cand] == L]
+                    ne = (data[L:] != data[:-L]).astype(np.int64)
+                    c = np.cumsum(ne)
+                    w = st[sel] - L
+                    hi = c[w + L - 1]
+                    lo = np.where(w > 0, c[np.maximum(w - 1, 0)], 0)
+                    do_dedup += int((hi == lo).sum())
+            # per-position arrays for the histogram passes
+            rec_all = np.repeat(np.arange(nseg, dtype=np.int64), ls_e)
+            within = np.arange(in_size, dtype=np.int64) - st_e[rec_all]
+            pos_all = (ls_e[rec_all] - within) & (NP - 1)
+            dat_all = d64
+            dir_all = d2f[rec_all] != 0
+            rec = nseg
+            i = in_size
     while i < in_size:
         if one_param >= 0 and rec < num_records and (flags[rec] >> 16) != one_param:
             avg_qual[rec] = 0
@@ -287,19 +341,12 @@ def qual_stats(lens, flags, data: np.ndarray, pm: Param, qhist, one_param: int):
             dir2 = 0
         last_len = j
 
-        seg = data[i:i + j]
-        n = len(seg)
-        tot = int(seg.sum())
-        # Position histograms are indexed by bytes-remaining & 127.
-        pos_idx = (j - np.arange(n, dtype=np.int64)) & (NP - 1)
-        np.add.at(qhist, seg, 1)
-        np.add.at(qhistb, (pos_idx, seg), 1)
-        if dir2:
-            np.add.at(qhist2, (pos_idx, seg), 1)
-            np.add.at(t2, pos_idx, 1)
+        n = min(j, in_size - i)
+        if sums is not None and rec + 1 < num_records and i + j <= in_size:
+            tot = int(sums[rec])
         else:
-            np.add.at(qhist1, (pos_idx, seg), 1)
-            np.add.at(t1, pos_idx, 1)
+            tot = int(data[i:i + n].sum())
+        seg_bounds.append((i, n, j, dir2, rec))
         i += n
 
         tot = int((tot * 10.0) / last_len + 0.5) if last_len else 0
@@ -307,6 +354,36 @@ def qual_stats(lens, flags, data: np.ndarray, pm: Param, qhist, one_param: int):
             avg_qual[rec] = tot
         avg[min(2559, tot)] += 1
         rec += 1
+
+    # global accumulation over all processed segments; position index
+    # is bytes-remaining (j - offset) & 127, with j the RECORD length
+    if pos_all is None and seg_bounds:
+        pos_all = np.empty(sum(n for _s, n, _j, _d, _r in seg_bounds),
+                           np.int64)
+        dat_all = np.empty(len(pos_all), np.int64)
+        dir_all = np.empty(len(pos_all), bool)
+        rec_all = np.empty(len(pos_all), np.int64)
+        o = 0
+        for s, n, j, d2, r in seg_bounds:
+            pos_all[o:o + n] = (np.int64(j)
+                                - np.arange(n, dtype=np.int64)) & (NP - 1)
+            dat_all[o:o + n] = data[s:s + n]
+            dir_all[o:o + n] = bool(d2)
+            rec_all[o:o + n] = r
+            o += n
+    if pos_all is not None:
+        qhist += np.bincount(dat_all, minlength=256)
+        key = pos_all * 256 + dat_all
+        qhistb += np.bincount(key, minlength=NP * 256).reshape(NP, 256)
+        if dir_all.any():
+            qhist2 += np.bincount(key[dir_all],
+                                  minlength=NP * 256).reshape(NP, 256)
+            t2 += np.bincount(pos_all[dir_all], minlength=NP)
+        nd = ~dir_all
+        if nd.any():
+            qhist1 += np.bincount(key[nd],
+                                  minlength=NP * 256).reshape(NP, 256)
+            t1 += np.bincount(pos_all[nd], minlength=NP)
 
     pm.do_dedup = 1 if (rec + 1) // (do_dedup + 1) < 500 else 0
 
@@ -354,56 +431,62 @@ def qual_stats(lens, flags, data: np.ndarray, pm: Param, qhist, one_param: int):
         qcnt2 = np.zeros((2, NP), dtype=np.int64)
         qcnt1 = np.zeros(NP, dtype=np.int64)
 
-        i = 0
-        rec = 0
-        while i < in_size:
-            if one_param >= 0 and rec < num_records and (flags[rec] >> 16) != one_param:
-                i += lens[rec]
-                rec += 1
-                continue
-            j = lens[rec] if rec < num_records else in_size - i
-            tot = avg_qual[rec] if rec < len(avg_qual) else 0
-            qb4 = int(avg[min(2559, tot)])
-            qb2 = qb4 // 2
-            seg = data[i:i + j]
-            n = len(seg)
-            pos_idx = (j - np.arange(n, dtype=np.int64)) & (NP - 1)
-            np.add.at(qbin4[qb4], (pos_idx, seg), 1)
-            np.add.at(qcnt4[qb4], pos_idx, 1)
-            np.add.at(qbin2[qb2], (pos_idx, seg), 1)
-            np.add.at(qcnt2[qb2], pos_idx, 1)
-            np.add.at(qbin1, (pos_idx, seg), 1)
-            np.add.at(qcnt1, pos_idx, 1)
-            i += n
-            rec += 1
+        # same processed segments as the main pass; per-record bin
+        # labels broadcast to positions, then global bincounts
+        if pos_all is not None:
+            aq = np.asarray(avg_qual + [0], np.int64)
+            qb4_rec = avg[np.minimum(2559, aq)]
+            qb4_all = qb4_rec[np.minimum(rec_all, len(aq) - 1)]
+            qb2_all = qb4_all // 2
+            key = pos_all * 256 + dat_all
+            qbin4 += np.bincount(
+                qb4_all * (NP * 256) + key,
+                minlength=4 * NP * 256).reshape(4, NP, 256)
+            qcnt4 += np.bincount(qb4_all * NP + pos_all,
+                                 minlength=4 * NP).reshape(4, NP)
+            qbin2 += np.bincount(
+                qb2_all * (NP * 256) + key,
+                minlength=2 * NP * 256).reshape(2, NP, 256)
+            qcnt2 += np.bincount(qb2_all * NP + pos_all,
+                                 minlength=2 * NP).reshape(2, NP)
+            qbin1 += np.bincount(key, minlength=NP * 256).reshape(NP, 256)
+            qcnt1 += np.bincount(pos_all, minlength=NP)
 
         e1 = e2 = e4 = 0.0
-        for j in range(NP):
-            for s in range(256):
-                if qbin1[j][s]:
-                    e1 += qbin1[j][s] * math.log(qbin1[j][s] / float(qcnt1[j]))
-                if qbin2[0][j][s]:
-                    e2 += qbin2[0][j][s] * math.log(qbin2[0][j][s] / float(qcnt2[0][j]))
-                if qbin2[1][j][s]:
-                    e2 += qbin2[1][j][s] * math.log(qbin2[1][j][s] / float(qcnt2[1][j]))
-                for b in range(4):
-                    if qbin4[b][j][s]:
-                        e4 += qbin4[b][j][s] * math.log(qbin4[b][j][s] / float(qcnt4[b][j]))
+        # visit only (j, s) cells where any bin is non-zero, in the same
+        # row-major order as the dense loop: float accumulation order is
+        # part of the bitstream contract (the e-values pick parameters),
+        # so the scalar math.log arithmetic is kept verbatim
+        nzmask = (qbin1 != 0) | (qbin2[0] != 0) | (qbin2[1] != 0) \
+            | (qbin4 != 0).any(axis=0)
+        for j, s in zip(*np.nonzero(nzmask)):
+            if qbin1[j][s]:
+                e1 += qbin1[j][s] * math.log(qbin1[j][s] / float(qcnt1[j]))
+            if qbin2[0][j][s]:
+                e2 += qbin2[0][j][s] * math.log(qbin2[0][j][s] / float(qcnt2[0][j]))
+            if qbin2[1][j][s]:
+                e2 += qbin2[1][j][s] * math.log(qbin2[1][j][s] / float(qcnt2[1][j]))
+            for b in range(4):
+                if qbin4[b][j][s]:
+                    e4 += qbin4[b][j][s] * math.log(qbin4[b][j][s] / float(qcnt4[b][j]))
         e1 /= -math.log(2) / 8
         e2 /= -math.log(2) / 8
         e4 /= -math.log(2) / 8
 
         qm = 1 if pm.do_qa > 0 else 0.98
+        aqv = np.minimum(2559, np.asarray(avg_qual[:num_records], np.int64))
         if (pm.do_qa == -1 or pm.do_qa >= 4) and \
                 e4 + num_records // 4 < e2 * qm + num_records // 8 and \
                 e4 + num_records // 4 < e1 * qm:
-            for r in range(num_records):
-                flags[r] |= int(avg[min(2559, avg_qual[r])]) << 16
+            newf = (np.asarray(flags[:num_records], np.int64)
+                    | (avg[aqv] << 16))
+            flags[:num_records] = newf.tolist()
             pm.do_sel = 1
             max_sel = 3
         elif (pm.do_qa == -1 or pm.do_qa >= 2) and e2 + num_records // 8 < e1 * qm:
-            for r in range(num_records):
-                flags[r] |= (int(avg[min(2559, avg_qual[r])]) >> 1) << 16
+            newf = (np.asarray(flags[:num_records], np.int64)
+                    | ((avg[aqv] >> 1) << 16))
+            flags[:num_records] = newf.tolist()
             pm.do_sel = 1
             max_sel = 1
 
@@ -428,17 +511,13 @@ def qual_stats(lens, flags, data: np.ndarray, pm: Param, qhist, one_param: int):
     # Auto tune: READ1 vs READ2 split
     if has_r2 or pm.do_r2:
         e1 = e2 = 0.0
-        for j in range(NP):
-            if not t1[j] or not t2[j]:
-                continue
-            for s in range(256):
-                if not qhistb[j][s]:
-                    continue
-                e1 -= qhistb[j][s] * math.log(qhistb[j][s] / float(t1[j] + t2[j]))
-                if qhist1[j][s]:
-                    e2 -= qhist1[j][s] * math.log(qhist1[j][s] / float(t1[j]))
-                if qhist2[j][s]:
-                    e2 -= qhist2[j][s] * math.log(qhist2[j][s] / float(t2[j]))
+        nzmask = (qhistb != 0) & ((t1 != 0) & (t2 != 0))[:, None]
+        for j, s in zip(*np.nonzero(nzmask)):
+            e1 -= qhistb[j][s] * math.log(qhistb[j][s] / float(t1[j] + t2[j]))
+            if qhist1[j][s]:
+                e2 -= qhist1[j][s] * math.log(qhist1[j][s] / float(t1[j]))
+            if qhist2[j][s]:
+                e2 -= qhist2[j][s] * math.log(qhist2[j][s] / float(t2[j]))
         e1 /= math.log(2) * 8
         e2 /= math.log(2) * 8
 

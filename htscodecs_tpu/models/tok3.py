@@ -437,7 +437,8 @@ def encode_names(blk: bytes, level: int = 9, use_arith: bool = False,
         d = ctx.desc.get(tid)
         if not d:
             continue
-        if all(v == N_MATCH for v in memoryview(d)[1:]):
+        da = np.frombuffer(bytes(d), np.uint8)
+        if (da[1:] == N_MATCH).all():
             if any(ctx.desc.get(tid + k) for k in range(1, 16)):
                 del ctx.desc[tid]
 
