@@ -121,6 +121,8 @@ def _compress_batch_o1(batch: np.ndarray) -> list[bytes]:
     if any(r is None for r in res):
         # wide alphabet somewhere: rebuild sparse, use the v1 engines
         res_s = _pmap(native.build_tables_o1, list(batch))
+        if any(r is None for r in res_s):
+            return [rans4x16.compress(batch[b], 1) for b in range(B)]
         hdrs = [r[0] for r in res_s]
         shifts = np.array([r[3] for r in res_s], np.int32)
         out: list[bytes | None] = [None] * B

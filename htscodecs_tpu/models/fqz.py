@@ -278,7 +278,6 @@ def qual_stats(lens, flags, data: np.ndarray, pm: Param, qhist, one_param: int):
     last_len = 0
     rec = 0
     i = 0
-    sums = None
     pos_all = dat_all = dir_all = rec_all = None
     if fast and num_records and in_size:
         ls = np.asarray(lens[:num_records], np.int64)
@@ -342,10 +341,7 @@ def qual_stats(lens, flags, data: np.ndarray, pm: Param, qhist, one_param: int):
         last_len = j
 
         n = min(j, in_size - i)
-        if sums is not None and rec + 1 < num_records and i + j <= in_size:
-            tot = int(sums[rec])
-        else:
-            tot = int(data[i:i + n].sum())
+        tot = int(data[i:i + n].sum())
         seg_bounds.append((i, n, j, dir2, rec))
         i += n
 

@@ -13,6 +13,7 @@ import ctypes
 import hashlib
 import os
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -21,6 +22,7 @@ _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "hostkernels.c"
 
 _lib = None
+_lib_lock = threading.Lock()
 
 
 def _build() -> ctypes.CDLL | None:
@@ -29,7 +31,9 @@ def _build() -> ctypes.CDLL | None:
     tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
     so = _HERE / f"_hostkernels_{tag}.so"
     if not so.exists():
-        tmp = _HERE / f".build_{tag}.so"
+        # per-process tmp name: two processes racing the first build
+        # each compile privately, then atomically publish via replace
+        tmp = _HERE / f".build_{tag}.{os.getpid()}.so"
         for cc in ("gcc", "cc", "clang"):
             try:
                 r = subprocess.run(
@@ -61,49 +65,58 @@ def _sig(fn, res, args):
 def get_lib():
     global _lib
     if _lib is None:
-        lib = _build()
-        if lib is None:
-            _lib = False
-            return None
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        u16p = ctypes.POINTER(ctypes.c_uint16)
-        u32p = ctypes.POINTER(ctypes.c_uint32)
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        i64 = ctypes.c_int64
-        _sig(lib.r16_enc_o0, i64, [u8p, i64, u8p, i64])
-        _sig(lib.r16_enc_o1, i64, [u8p, i64, u8p, i64])
-        _sig(lib.r16_dec_o0, i64, [u8p, i64, u8p, i64])
-        _sig(lib.r16_dec_o1, i64, [u8p, i64, u8p, i64])
-        _sig(lib.r16_build_tables_o0, i64, [u8p, i64, u8p, i64, u32p, u32p])
-        _sig(lib.r16_build_tables_o1, i64, [u8p, i64, u8p, i64, u32p, u32p, i32p])
-        _sig(lib.r16_parse_tables_o0, i64, [u8p, i64, u8p, u16p, u16p])
-        _sig(lib.r16_parse_tables_o1, i64, [u8p, i64, u8p, u16p, u16p, i32p])
-        _sig(lib.r16_build_tables_o1_dense, i64,
-             [u8p, i64, u8p, i64, u8p, i32p, ctypes.c_int32, i32p, i32p])
-        _sig(lib.r16_parse_tables_o1_dense, i64,
-             [u8p, i64, u8p, i32p, ctypes.c_int32, i32p, i32p])
-        _sig(lib.r8_build_tables_o0_dense, i64,
-             [u8p, i64, u8p, i64, u8p, i32p, ctypes.c_int32, i32p])
-        _sig(lib.r8_build_tables_o1_dense, i64,
-             [u8p, i64, u8p, i64, u8p, i32p, ctypes.c_int32, i32p])
-        i64p = ctypes.POINTER(ctypes.c_int64)
-        _sig(lib.tok3_tokenize, i64,
-             [u8p, i64p, i64p, i64, u8p, i64, i64p, i32p])
-        _sig(lib.tok3_detokenize, i64,
-             [u8p, i64p, i64p, ctypes.c_int32, i64, u8p, i64])
-        _sig(lib.r16_gather_params_o1, i64, [u8p, i64, u32p, u32p, u16p, u16p])
-        for nm in ("arith_enc_o0", "arith_enc_o1", "arith_enc_o0_rle",
-                   "arith_enc_o1_rle", "arith_dec_o0", "arith_dec_o1",
-                   "arith_dec_o0_rle", "arith_dec_o1_rle"):
-            _sig(getattr(lib, nm), i64, [u8p, i64, u8p, i64])
-        c_int = ctypes.c_int
-        _sig(lib.fqz_enc, i64,
-             [u8p, i64, u32p, u32p, i64, c_int, c_int, c_int, c_int, u8p,
-              u32p, u32p, u32p, u32p, u32p, u8p, i64])
-        _sig(lib.fqz_dec, i64,
-             [u8p, i64, i64, c_int, c_int, c_int, c_int, u8p,
-              u32p, u32p, u32p, u32p, u32p, u8p, u32p, u8p, i64])
-        _lib = lib
+        with _lib_lock:
+            if _lib is not None:
+                return _lib or None
+            return _get_lib_locked()
+    return _lib or None
+
+
+def _get_lib_locked():
+    global _lib
+    lib = _build()
+    if lib is None:
+        _lib = False
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64 = ctypes.c_int64
+    _sig(lib.r16_enc_o0, i64, [u8p, i64, u8p, i64])
+    _sig(lib.r16_enc_o1, i64, [u8p, i64, u8p, i64])
+    _sig(lib.r16_dec_o0, i64, [u8p, i64, u8p, i64])
+    _sig(lib.r16_dec_o1, i64, [u8p, i64, u8p, i64])
+    _sig(lib.r16_build_tables_o0, i64, [u8p, i64, u8p, i64, u32p, u32p])
+    _sig(lib.r16_build_tables_o1, i64, [u8p, i64, u8p, i64, u32p, u32p, i32p])
+    _sig(lib.r16_parse_tables_o0, i64, [u8p, i64, u8p, u16p, u16p])
+    _sig(lib.r16_parse_tables_o1, i64, [u8p, i64, u8p, u16p, u16p, i32p])
+    _sig(lib.r16_build_tables_o1_dense, i64,
+         [u8p, i64, u8p, i64, u8p, i32p, ctypes.c_int32, i32p, i32p])
+    _sig(lib.r16_parse_tables_o1_dense, i64,
+         [u8p, i64, u8p, i32p, ctypes.c_int32, i32p, i32p])
+    _sig(lib.r8_build_tables_o0_dense, i64,
+         [u8p, i64, u8p, i64, u8p, i32p, ctypes.c_int32, i32p])
+    _sig(lib.r8_build_tables_o1_dense, i64,
+         [u8p, i64, u8p, i64, u8p, i32p, ctypes.c_int32, i32p])
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    _sig(lib.tok3_tokenize, i64,
+         [u8p, i64p, i64p, i64, u8p, i64, i64p, i32p])
+    _sig(lib.tok3_detokenize, i64,
+         [u8p, i64p, i64p, ctypes.c_int32, i64, u8p, i64])
+    _sig(lib.r16_gather_params_o1, i64, [u8p, i64, u32p, u32p, u16p, u16p])
+    for nm in ("arith_enc_o0", "arith_enc_o1", "arith_enc_o0_rle",
+               "arith_enc_o1_rle", "arith_dec_o0", "arith_dec_o1",
+               "arith_dec_o0_rle", "arith_dec_o1_rle"):
+        _sig(getattr(lib, nm), i64, [u8p, i64, u8p, i64])
+    c_int = ctypes.c_int
+    _sig(lib.fqz_enc, i64,
+         [u8p, i64, u32p, u32p, i64, c_int, c_int, c_int, c_int, u8p,
+          u32p, u32p, u32p, u32p, u32p, u8p, i64])
+    _sig(lib.fqz_dec, i64,
+         [u8p, i64, i64, c_int, c_int, c_int, c_int, u8p,
+          u32p, u32p, u32p, u32p, u32p, u8p, u32p, u8p, i64])
+    _lib = lib
     return _lib if _lib is not False else None
 
 

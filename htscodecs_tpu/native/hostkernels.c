@@ -361,10 +361,21 @@ static int64_t enc_payload_o1(const uint8_t *in, int64_t n,
 /* ---------------------------------------------------------------- */
 /* public: order-0 block encode (freq header + payload)              */
 
+/* Worst-case serialised table sizes.  Builders write the header into
+ * hdr before measuring it, so callers MUST provide at least this much
+ * capacity; the upfront guards below make an undersized buffer a clean
+ * error instead of an overflow. */
+/* O0 worst case: 256 sym bytes + <=86 run bytes + 256 freq bytes +
+ * <=32 second freq bytes (freqs sum to 4096 so few need 2 varint
+ * bytes) + marker -- comfortably under 257*3. */
+#define HDR_CAP_O0 (257 * 3 + 16)
+#define HDR_CAP_O1 (257 * 257 * 3)
+
 API int64_t r16_build_tables_o0(const uint8_t *in, int64_t n,
                                 uint8_t *hdr, int64_t hdr_cap,
                                 uint32_t *starts, uint32_t *freqs) {
     /* returns header length; fills normalised (start,freq) tables */
+    if (hdr_cap < HDR_CAP_O0) return -1;
     uint32_t F[256];
     memset(F, 0, sizeof F);
     for (int64_t i = 0; i < n; i++) F[in[i]]++;
@@ -400,6 +411,7 @@ API int64_t r16_build_tables_o1(const uint8_t *in, int64_t n,
                                 uint8_t *hdr, int64_t hdr_cap,
                                 uint32_t *starts, uint32_t *freqs,
                                 int32_t *shift_out) {
+    if (hdr_cap < HDR_CAP_O1) return -1;
     uint32_t (*F)[256] = calloc(256, sizeof(*F));
     uint32_t T[256], A[256], S[256];
     if (!F) return -1;
@@ -684,7 +696,7 @@ API int64_t r16_build_tables_o1_dense(const uint8_t *in, int64_t n,
                                       uint8_t *alpha_out, int32_t *packed_out,
                                       int32_t max_a, int32_t *a_out,
                                       int32_t *shift_out) {
-    if (n < 1) return -1;
+    if (n < 1 || hdr_cap < HDR_CAP_O1) return -1;
     /* thread-local accumulators, cleared per-row after use: avoids a
      * 512 KB calloc per block (a third of the build cost at 64 KiB) */
     static __thread uint32_t (*F0)[256] = NULL;

@@ -266,7 +266,14 @@ def _chunkify8(stream_bytes: np.ndarray) -> np.ndarray:
 
 def dec_o0_batch(states, stream, out_sz: int, alpha, packed):
     """states (B,4) u32; stream (B,W) u8 (bytes after the 16 state
-    bytes); dense tables as in rans_v2.  Returns (B, out_sz) u8."""
+    bytes); dense tables as in rans_v2.  Returns (B, out_sz) u8.
+
+    out_sz < 4 would run a full 4-lane step before the no-advance tail
+    symbols are read, corrupting the final states; such blocks belong
+    on the host decoder (rANS_static.c:224-363 handles them there)."""
+    if out_sz < 4:
+        raise ValueError("dec_o0_batch requires out_sz >= 4; "
+                         "route short blocks to the host decoder")
     q = out_sz >> 2
     K = max(q, 1)
     out = _dec8_to_bytes(
