@@ -100,6 +100,11 @@ def _get_lib_locked():
     _sig(lib.r8_build_tables_o1_dense, i64,
          [u8p, i64, u8p, i64, u8p, i32p, ctypes.c_int32, i32p])
     i64p = ctypes.POINTER(ctypes.c_int64)
+    _sig(lib.r16_serialize_o1_dense_batch, i64,
+         [u8p, i32p, u16p, i32p, ctypes.c_int32, ctypes.c_int32,
+          u8p, i64, i64p])
+    _sig(lib.r16_serialize_o0_batch, i64,
+         [u16p, ctypes.c_int32, u8p, i64, i64p])
     _sig(lib.tok3_tokenize, i64,
          [u8p, i64p, i64p, i64, u8p, i64, i64p, i32p])
     _sig(lib.tok3_detokenize, i64,
@@ -110,6 +115,10 @@ def _get_lib_locked():
                "arith_dec_o0_rle", "arith_dec_o1_rle"):
         _sig(getattr(lib, nm), i64, [u8p, i64, u8p, i64])
     c_int = ctypes.c_int
+    _sig(lib.fqz_stats1, i64,
+         [u8p, i64, i64p, i64p, i64, u8p, i64p, i64p, i64p, i64p])
+    _sig(lib.fqz_stats2, i64,
+         [u8p, i64, i64p, i64p, i64, u8p, i64p])
     _sig(lib.fqz_enc, i64,
          [u8p, i64, u32p, u32p, i64, c_int, c_int, c_int, c_int, u8p,
           u32p, u32p, u32p, u32p, u32p, u8p, i64])
@@ -352,6 +361,113 @@ def parse_tables_o1_dense(blob, max_a: int = 96):
     n = na.value
     return (int(off), alpha[:n].copy(),
             packed[:n * n].reshape(n, n).copy(), int(sh.value))
+
+
+def fqz_stats1(data: np.ndarray, st: np.ndarray, ls: np.ndarray,
+               d2f: np.ndarray):
+    """One-pass fqz picker statistics: (pos,sym) histograms (all /
+    read-2), per-segment byte sums, adjacent-duplicate count.
+    Returns (hb (128,256) i64, h2, sums (nseg,) i64, dedup) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a, ap = _u8(data)
+    nseg = len(st)
+    st64 = np.ascontiguousarray(st, np.int64)
+    ls64 = np.ascontiguousarray(ls, np.int64)
+    df = np.ascontiguousarray(d2f, np.uint8)
+    hb = np.empty((128, 256), np.int64)
+    h2 = np.empty((128, 256), np.int64)
+    sums = np.empty(max(nseg, 1), np.int64)
+    dd = np.zeros(1, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    r = lib.fqz_stats1(
+        ap, len(a), st64.ctypes.data_as(i64p), ls64.ctypes.data_as(i64p),
+        nseg, df.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        hb.ctypes.data_as(i64p), h2.ctypes.data_as(i64p),
+        sums.ctypes.data_as(i64p), dd.ctypes.data_as(i64p))
+    if r < 0:
+        return None
+    return hb, h2, sums[:nseg], int(dd[0])
+
+
+def fqz_stats2(data: np.ndarray, st: np.ndarray, ls: np.ndarray,
+               qb4: np.ndarray):
+    """Selector-bin (pos,sym) histogram: k4 (4,128,256) i64 or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a, ap = _u8(data)
+    nseg = len(st)
+    st64 = np.ascontiguousarray(st, np.int64)
+    ls64 = np.ascontiguousarray(ls, np.int64)
+    qb = np.ascontiguousarray(qb4, np.uint8)
+    k4 = np.empty((4, 128, 256), np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    r = lib.fqz_stats2(
+        ap, len(a), st64.ctypes.data_as(i64p), ls64.ctypes.data_as(i64p),
+        nseg, qb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        k4.ctypes.data_as(i64p))
+    if r < 0:
+        return None
+    return k4
+
+
+def serialize_o1_dense_batch(alphas: np.ndarray, asz: np.ndarray,
+                             freqs: np.ndarray, shifts: np.ndarray):
+    """Batched order-1 header serialisation from device-built tables.
+
+    alphas (B, Apad) u8, asz (B,) i32, freqs (B, Apad, Apad) u16
+    pre-shift normalised rows, shifts (B,) i32.  Returns a list of B
+    header byte strings (byte-identical to r16_build_tables_o1_dense)
+    or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B, Apad = alphas.shape
+    al = np.ascontiguousarray(alphas, np.uint8)
+    az = np.ascontiguousarray(asz, np.int32)
+    fr = np.ascontiguousarray(freqs, np.uint16)
+    sh = np.ascontiguousarray(shifts, np.int32)
+    offs = np.empty(B + 1, np.int64)
+    cap = int(B) * (3 * Apad * Apad + 3 * Apad + 80) + 64
+    arena = np.empty(cap, np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    u16 = ctypes.POINTER(ctypes.c_uint16)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    r = lib.r16_serialize_o1_dense_batch(
+        al.ctypes.data_as(u8), az.ctypes.data_as(i32),
+        fr.ctypes.data_as(u16), sh.ctypes.data_as(i32),
+        B, Apad, arena.ctypes.data_as(u8), cap, offs.ctypes.data_as(i64))
+    if r < 0:
+        return None
+    ab = arena.tobytes()
+    return [ab[offs[b]:offs[b + 1]] for b in range(B)]
+
+
+def serialize_o0_batch(freqs: np.ndarray):
+    """Batched order-0 header serialisation.  freqs (B, 256) u16
+    pre-shift normalised counts.  Returns list of B header byte
+    strings (byte-identical to r16_build_tables_o0) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = freqs.shape[0]
+    fr = np.ascontiguousarray(freqs, np.uint16)
+    offs = np.empty(B + 1, np.int64)
+    cap = int(B) * (257 * 3 + 16) + 64
+    arena = np.empty(cap, np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    u16 = ctypes.POINTER(ctypes.c_uint16)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    r = lib.r16_serialize_o0_batch(
+        fr.ctypes.data_as(u16), B, arena.ctypes.data_as(u8), cap,
+        offs.ctypes.data_as(i64))
+    if r < 0:
+        return None
+    ab = arena.tobytes()
+    return [ab[offs[b]:offs[b + 1]] for b in range(B)]
 
 
 MAX_TBLOCKS = 128 * 16

@@ -1,0 +1,150 @@
+"""Conformance tests for the on-device table builders (ops/tables_v2).
+
+Every device-built table must match the native C builder bit-for-bit:
+serialized header bytes, packed dense tables, alphabet, and the 10/12
+shift decision (reference rANS_static4x16pr.c:116-161,629-691).
+"""
+
+import numpy as np
+import pytest
+
+from htscodecs_tpu import native
+from htscodecs_tpu.models import batch as batchmod
+from htscodecs_tpu.models import rans4x16
+from htscodecs_tpu.ops import tables_v2
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native kernels unavailable")
+
+
+def _cases():
+    # shapes are deliberately uniform (B=4, N=2048 except two odd-size
+    # cases): every distinct (B, N, A-bucket) costs a fresh CPU jit
+    rng = np.random.default_rng(123)
+    N, B = 2048, 4
+    out = []
+    syms = np.array([35, 45, 56, 70], np.uint8)
+    vals = rng.choice(4, size=(B, N), p=[.05, .1, .15, .7])
+    out.append(("a4", syms[vals]))
+    out.append(("a8uni", (rng.integers(0, 8, (B, N)) + 33).astype(np.uint8)))
+    p = np.exp(-0.2 * np.arange(40)); p /= p.sum()
+    out.append(("a40", (rng.choice(40, size=(B, N), p=p) + 33).astype(np.uint8)))
+    out.append(("single", np.full((B, N), 77, np.uint8)))
+    out.append(("two", np.where(rng.random((B, N)) < 0.999, 40, 41).astype(np.uint8)))
+    out.append(("zero", (rng.integers(0, 5, (B, N)) * 7).astype(np.uint8)))
+    out.append(("a90", (rng.integers(0, 90, (B, N)) + 33).astype(np.uint8)))
+    out.append(("odd", rng.integers(33, 43, (B, 1237)).astype(np.uint8)))
+    # flat small rows stress the normaliser's retry/redistribute paths
+    out.append(("flat", (rng.integers(0, 64, (B, 300)) + 33).astype(np.uint8)))
+    return out
+
+
+@pytest.mark.parametrize("name,blocks", _cases())
+def test_o1_build_matches_native(name, blocks):
+    r = tables_v2.build_o1_device(blocks)
+    assert r is not None
+    alpha_d, packed_d, asz, fhdr, shift, flag, A = r
+    alpha_d = np.asarray(alpha_d)
+    packed_d = np.asarray(packed_d)
+    hdrs = native.serialize_o1_dense_batch(alpha_d, asz, fhdr, shift)
+    assert hdrs is not None
+    for b in range(blocks.shape[0]):
+        ref = native.build_tables_o1_dense(blocks[b])
+        assert ref is not None
+        h_ref, al_ref, pk_ref, sh_ref = ref
+        if flag[b]:
+            continue  # near-band: wrapper rebuilds on host
+        a = len(al_ref)
+        assert asz[b] == a, name
+        assert np.array_equal(alpha_d[b, :a], al_ref), name
+        assert shift[b] == sh_ref, name
+        assert np.array_equal(packed_d[b, :a, :a], pk_ref), name
+        assert hdrs[b] == h_ref, name
+
+
+@pytest.mark.parametrize("name,blocks", _cases())
+def test_o0_build_matches_native(name, blocks):
+    r = tables_v2.build_o0_device(blocks)
+    assert r is not None
+    alpha_d, packed_d, asz, fhdr, A = r
+    hdrs = native.serialize_o0_batch(fhdr)
+    assert hdrs is not None
+    for b in range(blocks.shape[0]):
+        h_ref, st_ref, fr_ref = native.build_tables_o0(blocks[b])
+        assert hdrs[b] == h_ref, name
+        a = asz[b]
+        al = np.asarray(alpha_d)[b, :a]
+        exp = ((st_ref[al].astype(np.int64) << 13) | fr_ref[al]).astype(np.int32)
+        assert np.array_equal(np.asarray(packed_d)[b, :a], exp), name
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_wrapper_devtables_streams_byte_exact(order, monkeypatch):
+    """compress_blocks through the device-table path emits the same
+    streams as the per-block host encoder."""
+    monkeypatch.setattr(batchmod, "TABLES_DEVICE_MIN", 8)
+    rng = np.random.default_rng(5)
+    N, B = 640, 24
+    blocks = (rng.integers(0, 10, (B, N)) + 33).astype(np.uint8)
+    got = batchmod.compress_blocks(list(blocks), order)
+    for b in range(B):
+        assert got[b] == rans4x16.compress(blocks[b], order), b
+    back = batchmod.uncompress_blocks(got)
+    for b in range(B):
+        assert back[b] == blocks[b].tobytes()
+
+
+def test_shift_band_resolution():
+    """Run-structured quality data sits right at the e10/e12=1.01
+    boundary; banded blocks must resolve via the exact f64 replay so
+    that every unflagged block's shift matches the C builder."""
+    rng = np.random.default_rng(11)
+    N, B = 16384, 6
+    syms = np.array([35, 45, 56, 70], np.uint8)
+    blocks = np.empty((B, N), np.uint8)
+    for b in range(B):
+        vals = rng.choice(4, size=N // 8, p=[.05, .1, .15, .7])
+        lens = rng.geometric(0.25, size=N // 8).clip(1, 60)
+        seq = np.repeat(vals, lens)[:N]
+        if len(seq) < N:
+            seq = np.pad(seq, (0, N - len(seq)), constant_values=3)
+        blocks[b] = syms[seq]
+    r = tables_v2.build_o1_device(blocks)
+    assert r is not None
+    alpha_d, packed_d, asz, fhdr, shift, flag, A = r
+    hdrs = native.serialize_o1_dense_batch(
+        np.asarray(alpha_d), asz, fhdr, shift)
+    for b in range(B):
+        ref = native.build_tables_o1_dense(blocks[b])
+        if flag[b]:
+            continue
+        assert shift[b] == ref[3], b
+        assert hdrs[b] == ref[0], b
+
+
+def test_devtables_random_fuzz():
+    """Randomised distributions: device tables must match the host
+    builder (or flag out) on every block."""
+    rng = np.random.default_rng(999)
+    for trial in range(8):
+        N, B = 777, 4         # fixed shape: one jit variant per bucket
+        a = int(rng.integers(1, 90))
+        logits = rng.normal(0, rng.uniform(0.2, 4.0), a)
+        p = np.exp(logits); p /= p.sum()
+        lo = int(rng.integers(0, 120))
+        blocks = (rng.choice(a, size=(B, N), p=p) + lo).astype(np.uint8)
+        r = tables_v2.build_o1_device(blocks)
+        assert r is not None
+        alpha_d, packed_d, asz, fhdr, shift, flag, A = r
+        hdrs = native.serialize_o1_dense_batch(
+            np.asarray(alpha_d), asz, fhdr, shift)
+        for b in range(B):
+            if flag[b]:
+                continue
+            ref = native.build_tables_o1_dense(blocks[b])
+            h_ref, al_ref, pk_ref, sh_ref = ref
+            assert shift[b] == sh_ref, (trial, b)
+            assert hdrs[b] == h_ref, (trial, b)
+            aa = len(al_ref)
+            assert np.array_equal(
+                np.asarray(packed_d)[b, :aa, :aa], pk_ref), (trial, b)
