@@ -279,6 +279,7 @@ def qual_stats(lens, flags, data: np.ndarray, pm: Param, qhist, one_param: int):
     rec = 0
     i = 0
     pos_all = dat_all = dir_all = rec_all = None
+    nat = nat_hb = nat_h2 = None
     if fast and num_records and in_size:
         ls = np.asarray(lens[:num_records], np.int64)
         st = np.zeros(num_records, np.int64)
@@ -292,35 +293,49 @@ def qual_stats(lens, flags, data: np.ndarray, pm: Param, qhist, one_param: int):
             if tail > 0:
                 ls_e = np.append(ls, tail)
                 st_e = np.append(st, in_size - tail)
-            d64 = data.astype(np.int64)
-            sums_e = np.add.reduceat(d64, st_e)
             d2f = np.zeros(nseg, np.int64)
             d2f[:num_records] = (np.asarray(flags[:num_records], np.int64)
                                  & FQZ_FREAD2) != 0
+            # histograms + sums + dedup in one native pass when
+            # available; the numpy fallback builds per-position arrays
+            nat1 = (_native.fqz_stats1(data, st_e, ls_e,
+                                       (d2f != 0).astype(np.uint8))
+                    if _USE_NATIVE else None)
+            if nat1 is not None:
+                nat_hb, nat_h2, sums_e, dd = nat1
+                do_dedup += dd
+                nat = (st_e, ls_e, nseg)
+            else:
+                d32 = data.astype(np.int32)
+                sums_e = np.add.reduceat(d32, st_e, dtype=np.int64)
+                # dedup: adjacent records of equal length, bytewise
+                # equal — shifted-compare + cumsum, one data pass per
+                # distinct length
+                cand = np.flatnonzero((ls[1:] == ls[:-1]) & (st[1:] > 0)) + 1
+                if len(cand):
+                    for Lv in np.unique(ls[cand]):
+                        L = int(Lv)
+                        sel = cand[ls[cand] == L]
+                        ne = (data[L:] != data[:-L]).astype(np.int64)
+                        c = np.cumsum(ne)
+                        w = st[sel] - L
+                        hi = c[w + L - 1]
+                        lo = np.where(w > 0, c[np.maximum(w - 1, 0)], 0)
+                        do_dedup += int((hi == lo).sum())
+                # per-position arrays for the histogram passes
+                rec_all = np.repeat(np.arange(nseg, dtype=np.int32),
+                                    ls_e.astype(np.int64))
+                st32 = st_e.astype(np.int32)
+                ls32 = ls_e.astype(np.int32)
+                within = np.arange(in_size, dtype=np.int32) - st32[rec_all]
+                pos_all = (ls32[rec_all] - within) & (NP - 1)
+                dat_all = d32
+                dir_all = d2f[rec_all] != 0
             # avg_qual: identical float op order per element
             tots = ((sums_e * 10.0) / ls_e + 0.5).astype(np.int64)
             k = min(nseg, num_records + 1)
             avg_qual[:k] = tots[:k].tolist()
             avg += np.bincount(np.minimum(2559, tots), minlength=2560)
-            # dedup: adjacent records of equal length, bytewise equal —
-            # shifted-compare + cumsum, one data pass per distinct length
-            cand = np.flatnonzero((ls[1:] == ls[:-1]) & (st[1:] > 0)) + 1
-            if len(cand):
-                for Lv in np.unique(ls[cand]):
-                    L = int(Lv)
-                    sel = cand[ls[cand] == L]
-                    ne = (data[L:] != data[:-L]).astype(np.int64)
-                    c = np.cumsum(ne)
-                    w = st[sel] - L
-                    hi = c[w + L - 1]
-                    lo = np.where(w > 0, c[np.maximum(w - 1, 0)], 0)
-                    do_dedup += int((hi == lo).sum())
-            # per-position arrays for the histogram passes
-            rec_all = np.repeat(np.arange(nseg, dtype=np.int64), ls_e)
-            within = np.arange(in_size, dtype=np.int64) - st_e[rec_all]
-            pos_all = (ls_e[rec_all] - within) & (NP - 1)
-            dat_all = d64
-            dir_all = d2f[rec_all] != 0
             rec = nseg
             i = in_size
     while i < in_size:
@@ -367,19 +382,33 @@ def qual_stats(lens, flags, data: np.ndarray, pm: Param, qhist, one_param: int):
             dir_all[o:o + n] = bool(d2)
             rec_all[o:o + n] = r
             o += n
-    if pos_all is not None:
-        qhist += np.bincount(dat_all, minlength=256)
+    key = None
+    if nat is not None:
+        hb, h2 = nat_hb, nat_h2
+        qhistb += hb
+        qhist += hb.sum(axis=0)
+        qhist2 += h2
+        t2 += h2.sum(axis=1)
+        h1 = hb - h2
+        qhist1 += h1
+        t1 += h1.sum(axis=1)
+    elif pos_all is not None:
+        # one bincount for the (pos, sym) grid; the split/marginal
+        # histograms derive from it instead of extra full-data passes
         key = pos_all * 256 + dat_all
-        qhistb += np.bincount(key, minlength=NP * 256).reshape(NP, 256)
+        hb = np.bincount(key, minlength=NP * 256).reshape(NP, 256)
+        qhistb += hb
+        qhist += hb.sum(axis=0)
         if dir_all.any():
-            qhist2 += np.bincount(key[dir_all],
-                                  minlength=NP * 256).reshape(NP, 256)
-            t2 += np.bincount(pos_all[dir_all], minlength=NP)
-        nd = ~dir_all
-        if nd.any():
-            qhist1 += np.bincount(key[nd],
-                                  minlength=NP * 256).reshape(NP, 256)
-            t1 += np.bincount(pos_all[nd], minlength=NP)
+            h2 = np.bincount(key[dir_all],
+                             minlength=NP * 256).reshape(NP, 256)
+        else:
+            h2 = np.zeros((NP, 256), np.int64)
+        qhist2 += h2
+        t2 += h2.sum(axis=1)
+        h1 = hb - h2
+        qhist1 += h1
+        t1 += h1.sum(axis=1)
 
     pm.do_dedup = 1 if (rec + 1) // (do_dedup + 1) < 500 else 0
 
@@ -429,42 +458,62 @@ def qual_stats(lens, flags, data: np.ndarray, pm: Param, qhist, one_param: int):
 
         # same processed segments as the main pass; per-record bin
         # labels broadcast to positions, then global bincounts
-        if pos_all is not None:
+        k4 = None
+        if nat is not None:
+            st_e, ls_e, nseg = nat
             aq = np.asarray(avg_qual + [0], np.int64)
-            qb4_rec = avg[np.minimum(2559, aq)]
+            qb4_rec = avg[np.minimum(2559, aq)].astype(np.uint8)
+            labels = qb4_rec[np.minimum(np.arange(nseg), len(aq) - 1)]
+            k4 = _native.fqz_stats2(data, st_e, ls_e, labels)
+        elif pos_all is not None:
+            aq = np.asarray(avg_qual + [0], np.int64)
+            qb4_rec = avg[np.minimum(2559, aq)].astype(np.int32)
             qb4_all = qb4_rec[np.minimum(rec_all, len(aq) - 1)]
-            qb2_all = qb4_all // 2
-            key = pos_all * 256 + dat_all
-            qbin4 += np.bincount(
+            # one finest-grained bincount; the 2-bin/1-bin grids and
+            # all counts are its marginals
+            k4 = np.bincount(
                 qb4_all * (NP * 256) + key,
                 minlength=4 * NP * 256).reshape(4, NP, 256)
-            qcnt4 += np.bincount(qb4_all * NP + pos_all,
-                                 minlength=4 * NP).reshape(4, NP)
-            qbin2 += np.bincount(
-                qb2_all * (NP * 256) + key,
-                minlength=2 * NP * 256).reshape(2, NP, 256)
-            qcnt2 += np.bincount(qb2_all * NP + pos_all,
-                                 minlength=2 * NP).reshape(2, NP)
-            qbin1 += np.bincount(key, minlength=NP * 256).reshape(NP, 256)
-            qcnt1 += np.bincount(pos_all, minlength=NP)
+        if k4 is not None:
+            qbin4 += k4
+            qcnt4 += k4.sum(axis=2)
+            k2 = k4.reshape(2, 2, NP, 256).sum(axis=1)
+            qbin2 += k2
+            qcnt2 += k2.sum(axis=2)
+            qbin1 += k4.sum(axis=0)
+            qcnt1 += k4.sum(axis=(0, 2))
 
         e1 = e2 = e4 = 0.0
         # visit only (j, s) cells where any bin is non-zero, in the same
         # row-major order as the dense loop: float accumulation order is
         # part of the bitstream contract (the e-values pick parameters),
-        # so the scalar math.log arithmetic is kept verbatim
+        # so the scalar math.log arithmetic is kept verbatim; cells are
+        # pulled into plain lists first (numpy scalar indexing in the
+        # loop was the dominant encode cost at small blocks)
         nzmask = (qbin1 != 0) | (qbin2[0] != 0) | (qbin2[1] != 0) \
             | (qbin4 != 0).any(axis=0)
-        for j, s in zip(*np.nonzero(nzmask)):
-            if qbin1[j][s]:
-                e1 += qbin1[j][s] * math.log(qbin1[j][s] / float(qcnt1[j]))
-            if qbin2[0][j][s]:
-                e2 += qbin2[0][j][s] * math.log(qbin2[0][j][s] / float(qcnt2[0][j]))
-            if qbin2[1][j][s]:
-                e2 += qbin2[1][j][s] * math.log(qbin2[1][j][s] / float(qcnt2[1][j]))
+        jj, ss = np.nonzero(nzmask)
+        q1v = qbin1[jj, ss].tolist()
+        c1v = qcnt1[jj].astype(np.float64).tolist()
+        q2v = [qbin2[b][jj, ss].tolist() for b in range(2)]
+        c2v = [qcnt2[b][jj].astype(np.float64).tolist() for b in range(2)]
+        q4v = [qbin4[b][jj, ss].tolist() for b in range(4)]
+        c4v = [qcnt4[b][jj].astype(np.float64).tolist() for b in range(4)]
+        log = math.log
+        for k in range(len(jj)):
+            v = q1v[k]
+            if v:
+                e1 += v * log(v / c1v[k])
+            v = q2v[0][k]
+            if v:
+                e2 += v * log(v / c2v[0][k])
+            v = q2v[1][k]
+            if v:
+                e2 += v * log(v / c2v[1][k])
             for b in range(4):
-                if qbin4[b][j][s]:
-                    e4 += qbin4[b][j][s] * math.log(qbin4[b][j][s] / float(qcnt4[b][j]))
+                v = q4v[b][k]
+                if v:
+                    e4 += v * log(v / c4v[b][k])
         e1 /= -math.log(2) / 8
         e2 /= -math.log(2) / 8
         e4 /= -math.log(2) / 8

@@ -1270,6 +1270,70 @@ static int am_decode(amodel *m, rcoder *rc) {
     return symbol;
 }
 
+/* Compact 64-symbol variant of amodel for the fqz quality contexts:
+ * 260 B/context keeps the 65536-context array at ~17 MB (cache- and
+ * init-friendly; the 258-symbol generic struct costs 4x).  Bitstream
+ * behaviour is identical to amodel for any valid stream whose
+ * alphabet fits (the frequency-sorted search order and renorm rules
+ * are the contract; zero-count tail entries never participate). */
+typedef struct {
+    uint16_t tot;      /* <= 65535 == 65519 max + one +16 step        */
+    uint16_t cnt[64];
+    uint8_t sym[64];   /* symbols < 64                                 */
+    uint8_t pad[62];   /* exactly 256 B: 4 lines, hot prefix in line 0 */
+} am64;
+
+static void am64_renorm(am64 *m) {
+    uint32_t tot = 0;
+    for (int i = 0; i < 64 && m->cnt[i]; i++) {
+        m->cnt[i] -= m->cnt[i] >> 1;
+        tot += m->cnt[i];
+    }
+    m->tot = (uint16_t)tot;
+}
+
+static inline void am64_encode(am64 *m, rcoder *rc, int symbol) {
+    uint32_t acc = 0;
+    int p = 0;
+    while (m->sym[p] != symbol) acc += m->cnt[p++];
+    rc_encode(rc, acc, m->cnt[p], m->tot);
+    m->cnt[p] += 16;
+    m->tot += 16;
+    if (m->tot > 65519) am64_renorm(m);
+    if (p && m->cnt[p] > m->cnt[p - 1]) {
+        uint8_t ts = m->sym[p];
+        uint16_t tc = m->cnt[p];
+        m->sym[p] = m->sym[p - 1]; m->cnt[p] = m->cnt[p - 1];
+        m->sym[p - 1] = ts; m->cnt[p - 1] = tc;
+    }
+}
+
+static inline int am64_decode(am64 *m, rcoder *rc) {
+    uint32_t f = rc_get_freq(rc, m->tot);
+    if (f > 65519) return 0;
+    uint32_t acc = 0;
+    int p = 0;
+    for (;;) {
+        uint32_t c = p < 64 ? m->cnt[p] : (p == 64 ? 0 : 65519u);
+        if (acc + c > f) break;
+        acc += c;
+        if (++p > 65) return 0;
+    }
+    if (p > 64) return 0;
+    int symbol = m->sym[p];
+    rc_decode(rc, acc, m->cnt[p]);
+    m->cnt[p] += 16;
+    m->tot += 16;
+    if (m->tot > 65519) am64_renorm(m);
+    if (p && m->cnt[p] > m->cnt[p - 1]) {
+        uint8_t ts = m->sym[p];
+        uint16_t tc = m->cnt[p];
+        m->sym[p] = m->sym[p - 1]; m->cnt[p] = m->cnt[p - 1];
+        m->sym[p - 1] = ts; m->cnt[p - 1] = tc;
+    }
+    return symbol;
+}
+
 /* ---------------------------------------------------------------- */
 /* arith_dynamic entropy payloads: [max_sym byte][range-coded data]  */
 
@@ -1436,15 +1500,42 @@ API int64_t arith_dec_o1_rle(const uint8_t *in, int64_t n, uint8_t *out,
    7 dloc, 8 max_sym(stored), 9 fixed_len, 10 do_sel, 11 do_dedup */
 
 typedef struct {
-    amodel *qual;      /* 65536 contexts */
+    amodel *qual;      /* 65536 contexts (wide-alphabet fallback)     */
+    am64 *qual64;      /* 65536 contexts, compact path (max_sym < 64) */
     amodel len[4], revcomp, dup, sel;
     int has_sel;
 } fqz_models;
 
+/* The 65536-context arrays are the dominant per-block cost (alloc +
+ * init touch 17-68 MB); cache them per-thread and re-init by memcpy
+ * of a one-context template (mirrors the reference's TLS model reuse,
+ * fqzcomp_qual.c:317-327). */
+static __thread am64 *tls_qual64 = NULL;
+static __thread amodel *tls_qual = NULL;
+
 static int fqz_models_init(fqz_models *m, int max_sym_p1, int max_sel) {
-    m->qual = malloc((size_t)65536 * sizeof(amodel));
-    if (!m->qual) return -1;
-    for (int i = 0; i < 65536; i++) am_init(&m->qual[i], 256, max_sym_p1);
+    m->qual = NULL;
+    m->qual64 = NULL;
+    if (max_sym_p1 <= 64) {
+        if (!tls_qual64)
+            tls_qual64 = aligned_alloc(256, (size_t)65536 * sizeof(am64));
+        if (!tls_qual64) return -1;
+        am64 tmpl;
+        memset(&tmpl, 0, sizeof tmpl);
+        tmpl.tot = (uint16_t)max_sym_p1;
+        for (int i = 0; i < 64; i++) {
+            tmpl.sym[i] = (uint8_t)i;
+            tmpl.cnt[i] = i < max_sym_p1 ? 1 : 0;
+        }
+        m->qual64 = tls_qual64;
+        for (int i = 0; i < 65536; i++) m->qual64[i] = tmpl;
+    } else {
+        if (!tls_qual) tls_qual = malloc((size_t)65536 * sizeof(amodel));
+        if (!tls_qual) return -1;
+        m->qual = tls_qual;
+        for (int i = 0; i < 65536; i++)
+            am_init(&m->qual[i], 256, max_sym_p1);
+    }
     for (int i = 0; i < 4; i++) am_init(&m->len[i], 256, 256);
     am_init(&m->revcomp, 2, 2);
     am_init(&m->dup, 2, 2);
@@ -1471,21 +1562,23 @@ API int64_t fqz_enc(const uint8_t *in, int64_t n,
     const uint32_t *pm = pm_ints;
     const uint32_t *qmap = qmaps, *qtab = qtabs, *ptab = ptabs, *dtab = dtabs;
     uint32_t qctx = 0, p = 0, delta = 0, prevq = 0, sval = 0, ctx = 0;
+    uint32_t qsh = 0, qmask = 0, qloc = 0, svs = 0;
+    am64 *q64 = md.qual64;
     int first_len = 1;
     int64_t rec = 0, last_len = 0;
 
     for (int64_t i = 0; i < n && !rc.err; i++) {
         if (p == 0) {
-            if (rec >= nrec) { free(md.qual); return -1; }
+            if (rec >= nrec) { return -1; }
             if (pm[10] || (gflags & 1)) {
                 sval = flags[rec] >> 16;
-                if (!md.has_sel) { free(md.qual); return -1; }
+                if (!md.has_sel) { return -1; }
                 am_encode(&md.sel, &rc, (int)sval);
             } else {
                 sval = 0;
             }
             x = (gflags & 2) ? stab[sval] : (int)sval;
-            if (x >= nparam) { free(md.qual); return -1; }
+            if (x >= nparam) { return -1; }
             pm = pm_ints + (size_t)x * FQZ_PM_WORDS;
             qmap = qmaps + (size_t)x * 256;
             qtab = qtabs + (size_t)x * 256;
@@ -1506,6 +1599,8 @@ API int64_t fqz_enc(const uint8_t *in, int64_t n,
             p = len;
             delta = 0; qctx = 0; prevq = 0;
             ctx = pm[0];
+            qsh = pm[3]; qmask = (1u << pm[2]) - 1;
+            qloc = pm[4]; svs = sval << pm[5];
 
             if (pm[11]) {
                 if (i && (int64_t)len == last_len &&
@@ -1521,20 +1616,22 @@ API int64_t fqz_enc(const uint8_t *in, int64_t n,
         }
 
         uint32_t qm = qmap[in[i]];
-        am_encode(&md.qual[ctx & 0xffff], &rc, (int)qm);
+        if (q64)
+            am64_encode(&q64[ctx & 0xffff], &rc, (int)qm);
+        else
+            am_encode(&md.qual[ctx & 0xffff], &rc, (int)qm);
 
-        qctx = (qctx << pm[3]) + qtab[qm];
-        ctx = ((qctx & ((1u << pm[2]) - 1)) << pm[4])
+        qctx = (qctx << qsh) + qtab[qm];
+        ctx = ((qctx & qmask) << qloc)
             + ptab[p < 1023 ? p : 1023]
             + dtab[delta < 255 ? delta : 255]
-            + (sval << pm[5]);
+            + svs;
         ctx &= 0xffff;
         delta += prevq != qm;
         prevq = qm;
         p--;
     }
     rc_enc_finish(&rc);
-    free(md.qual);
     return rc.err ? -1 : rc.opos;
 }
 
@@ -1556,6 +1653,8 @@ API int64_t fqz_dec(const uint8_t *in, int64_t n, int64_t total,
     const uint32_t *qmap = qmaps, *qtab = qtabs, *ptab = ptabs, *dtab = dtabs;
     uint32_t qctx = 0, p = 0, delta = 0, prevq = 0, sval = 0, ctx = 0;
     uint32_t len = 0, last_len = 0;
+    uint32_t qsh = 0, qmask = 0, qloc = 0, svs = 0;
+    am64 *q64 = md.qual64;
     int first_len = 1, rev = 0;
     int64_t rec = 0;
 
@@ -1606,24 +1705,26 @@ API int64_t fqz_dec(const uint8_t *in, int64_t n, int64_t total,
             p = len;
             delta = 0; prevq = 0; qctx = 0;
             ctx = pm[0];
+            qsh = pm[3]; qmask = (1u << pm[2]) - 1;
+            qloc = pm[4]; svs = sval << pm[5];
         }
 
-        uint32_t Q = (uint32_t)am_decode(&md.qual[ctx & 0xffff], &rc);
+        uint32_t Q = q64
+            ? (uint32_t)am64_decode(&q64[ctx & 0xffff], &rc)
+            : (uint32_t)am_decode(&md.qual[ctx & 0xffff], &rc);
         out[i] = (uint8_t)qmap[Q];
-        qctx = (qctx << pm[3]) + qtab[Q];
-        ctx = ((qctx & ((1u << pm[2]) - 1)) << pm[4])
+        qctx = (qctx << qsh) + qtab[Q];
+        ctx = ((qctx & qmask) << qloc)
             + ptab[p < 1023 ? p : 1023]
             + dtab[delta < 255 ? delta : 255]
-            + (sval << pm[5]);
+            + svs;
         ctx &= 0xffff;
         delta += prevq != Q;
         prevq = Q;
         p--;
     }
-    free(md.qual);
     return rec;
  fail:
-    free(md.qual);
     return -1;
 }
 
@@ -2077,7 +2178,12 @@ API int64_t tok3_detokenize(const uint8_t *arena, const int64_t *doffs,
                             int64_t nreads, uint8_t *out, int64_t out_cap) {
     int64_t *cur = calloc(TK_MAX_TBLOCKS, sizeof(int64_t));
     lcrec *lc = calloc(nreads + 1, sizeof(lcrec));
-    uint8_t *tarena = malloc((size_t)(nreads + 1) * TK_MAX_TOKENS * 9);
+    /* per-record token store sized by the stream's real max_tok (the
+     * 128-token worst case is 1.2 KB/record of cold cache misses) */
+    int mt_s = max_tok < 1 ? 1 : (max_tok > TK_MAX_TOKENS
+                                  ? TK_MAX_TOKENS : max_tok);
+    size_t stride = ((size_t)mt_s * 9 + 15) & ~(size_t)15;
+    uint8_t *tarena = malloc((size_t)(nreads + 1) * stride + 16);
     int64_t olen = 0, ret = -1;
     if (!cur || !lc || !tarena) goto done;
 
@@ -2121,10 +2227,11 @@ API int64_t tok3_detokenize(const uint8_t *arena, const int64_t *doffs,
         lcrec *plc = (lc[pnum].types != NULL) ? &lc[pnum] : &empty;
         lcrec *me = &lc[cnum];
         me->name_off = (int32_t)olen;
-        me->types = tarena + (size_t)cnum * TK_MAX_TOKENS * 9;
-        me->ints = (int32_t *)(me->types + TK_MAX_TOKENS);
-        me->strs = me->ints + TK_MAX_TOKENS;
-        memset(me->types, 0, TK_MAX_TOKENS);
+        uint8_t *tb = tarena + (size_t)cnum * stride;
+        me->ints = (int32_t *)tb;
+        me->strs = me->ints + mt_s;
+        me->types = (uint8_t *)(me->strs + mt_s);
+        memset(me->types, 0, mt_s);
         uint8_t *types = me->types;
         int32_t *ints = me->ints;
         int32_t *strs = me->strs;
@@ -2179,11 +2286,10 @@ API int64_t tok3_detokenize(const uint8_t *arena, const int64_t *doffs,
                 TK_NEED(l);
                 uint32_t vv = v;
                 for (int k = l; k > 0; k--) {
-                    uint32_t p10 = 1;
-                    for (int z = 1; z < k; z++) p10 *= 10;
-                    out[olen++] = (uint8_t)(48 + vv / p10);
-                    vv %= p10;
+                    out[olen + k - 1] = (uint8_t)(48 + vv % 10);
+                    vv /= 10;
                 }
+                olen += l;
                 types[ntok] = T_DIGITS0;
                 ints[ntok] = (int32_t)v;
                 strs[ntok] = lp[0];
@@ -2196,11 +2302,10 @@ API int64_t tok3_detokenize(const uint8_t *arena, const int64_t *doffs,
                 TK_NEED(l);
                 uint32_t vv = v;
                 for (int k = l; k > 0; k--) {
-                    uint32_t p10 = 1;
-                    for (int z = 1; z < k; z++) p10 *= 10;
-                    out[olen++] = (uint8_t)(48 + vv / p10);
-                    vv %= p10;
+                    out[olen + k - 1] = (uint8_t)(48 + vv % 10);
+                    vv /= 10;
                 }
+                olen += l;
                 types[ntok] = T_DIGITS0;
                 ints[ntok] = (int32_t)v;
                 strs[ntok] = plc->strs[ntok];
@@ -2270,11 +2375,10 @@ API int64_t tok3_detokenize(const uint8_t *arena, const int64_t *doffs,
                     TK_NEED(l);
                     uint32_t vv = v;
                     for (int k = l; k > 0; k--) {
-                        uint32_t p10 = 1;
-                        for (int z = 1; z < k; z++) p10 *= 10;
-                        out[olen++] = (uint8_t)(48 + vv / p10);
-                        vv %= p10;
+                        out[olen + k - 1] = (uint8_t)(48 + vv % 10);
+                        vv /= 10;
                     }
+                    olen += l;
                     types[ntok] = T_DIGITS0;
                     ints[ntok] = plc->ints[ntok];
                     strs[ntok] = plc->strs[ntok];
@@ -2302,4 +2406,166 @@ done:
 #undef TK_GET_TYPE
 #undef TK_GET
 #undef TK_NEED
+}
+
+/* ---------------------------------------------------------------- */
+/* batched header serializers for the device table builders           */
+/* (ops/tables_v2.py).  The device computes histograms + normalised   */
+/* frequencies (bit-exact normalise_freq replay); these emit the      */
+/* byte-identical headers of r16_build_tables_o1_dense /             */
+/* r16_build_tables_o0 from those frequencies in one call per batch. */
+
+static int put_freq_row_dense(uint8_t *p, const uint16_t *Frow, int a) {
+    int n = 0, dz = 0;
+    for (int k = 0; k < a; k++) {
+        uint32_t f = Frow[k];
+        if (f) {
+            if (dz) { n -= dz - 1; p[n++] = (uint8_t)(dz - 1); }
+            dz = 0;
+            n += vput(p + n, f);
+        } else {
+            dz++;
+            p[n++] = 0;
+        }
+    }
+    if (dz) { n -= dz - 1; p[n++] = (uint8_t)(dz - 1); }
+    return n;
+}
+
+/* order-1 header epilogue: rANS-pack the table block when large
+ * (mirrors rANS_static4x16pr.c:746-766).  Returns the new length. */
+static int64_t o1_hdr_compress(uint8_t *hdr, int64_t hl) {
+    if (hl <= 1000) return hl;
+    int64_t u_sz = hl - 1;
+    uint8_t *cbuf = malloc(u_sz + 1024);
+    if (!cbuf) return hl;
+    int64_t c_sz = r16_enc_o0(hdr + 1, u_sz, cbuf, u_sz + 1024);
+    if (c_sz > 0 && c_sz + 6 < hl) {
+        uint8_t tmp[16];
+        int m = 0;
+        tmp[m++] = hdr[0] | 1;
+        m += vput(tmp + m, (uint32_t)u_sz);
+        m += vput(tmp + m, (uint32_t)c_sz);
+        memcpy(hdr, tmp, m);
+        memcpy(hdr + m, cbuf, c_sz);
+        hl = m + c_sz;
+    }
+    free(cbuf);
+    return hl;
+}
+
+API int64_t r16_serialize_o1_dense_batch(
+        const uint8_t *alphas,      /* (B, Apad) sorted, last-padded */
+        const int32_t *asz,         /* (B,) true alphabet sizes      */
+        const uint16_t *freqs,      /* (B, Apad, Apad) pre-shift     */
+        const int32_t *shifts,      /* (B,) 10 or 12                 */
+        int32_t B, int32_t Apad,
+        uint8_t *arena, int64_t arena_cap,
+        int64_t *offs /* (B+1,) */) {
+    static __thread uint8_t *scratch = NULL;
+    if (!scratch) {
+        scratch = malloc(HDR_CAP_O1);
+        if (!scratch) return -2;
+    }
+    int64_t pos = 0;
+    for (int32_t b = 0; b < B; b++) {
+        int a = asz[b];
+        if (a < 1 || a > Apad || a > 256) return -2;
+        const uint8_t *al = alphas + (int64_t)b * Apad;
+        uint32_t A[256];
+        memset(A, 0, sizeof A);
+        for (int k = 0; k < a; k++) A[al[k]] = 1;
+        uint8_t *hdr = scratch;
+        int64_t hl = 1;
+        hl += put_alphabet(hdr + hl, A);
+        const uint16_t *F = freqs + (int64_t)b * Apad * Apad;
+        for (int k = 0; k < a; k++)
+            hl += put_freq_row_dense(hdr + hl, F + (int64_t)k * Apad, a);
+        hdr[0] = (uint8_t)(shifts[b] << 4);
+        hl = o1_hdr_compress(hdr, hl);
+        if (pos + hl > arena_cap) return -1;
+        memcpy(arena + pos, hdr, hl);
+        offs[b] = pos;
+        pos += hl;
+    }
+    offs[B] = pos;
+    return pos;
+}
+
+API int64_t r16_serialize_o0_batch(
+        const uint16_t *freqs,      /* (B, 256) pre-shift            */
+        int32_t B,
+        uint8_t *arena, int64_t arena_cap,
+        int64_t *offs /* (B+1,) */) {
+    int64_t pos = 0;
+    for (int32_t b = 0; b < B; b++) {
+        const uint16_t *Fr = freqs + (int64_t)b * 256;
+        uint32_t F[256];
+        for (int j = 0; j < 256; j++) F[j] = Fr[j];
+        uint8_t hdr[HDR_CAP_O0];
+        int hl = put_freq0(hdr, F);
+        if (pos + hl > arena_cap) return -1;
+        memcpy(arena + pos, hdr, hl);
+        offs[b] = pos;
+        pos += hl;
+    }
+    offs[B] = pos;
+    return pos;
+}
+
+/* ---------------------------------------------------------------- */
+/* fqz parameter-picker statistics (models/fqz.py qual_stats fast    */
+/* path; reference fqzcomp_qual.c:418-693).  One pass each instead   */
+/* of the stack of full-length numpy temporaries.                    */
+
+API int64_t fqz_stats1(const uint8_t *data, int64_t n,
+                       const int64_t *st, const int64_t *ls, int64_t nseg,
+                       const uint8_t *d2f,
+                       int64_t *hb,      /* (128,256) all            */
+                       int64_t *h2,      /* (128,256) read-2 only    */
+                       int64_t *sums,    /* (nseg,) byte sums        */
+                       int64_t *dedup) {
+    memset(hb, 0, 128 * 256 * sizeof(*hb));
+    memset(h2, 0, 128 * 256 * sizeof(*h2));
+    int64_t dd = 0;
+    for (int64_t s = 0; s < nseg; s++) {
+        const uint8_t *p = data + st[s];
+        int64_t L = ls[s];
+        if (st[s] < 0 || L < 0 || st[s] + L > n) return -1;
+        if (s > 0 && L == ls[s - 1] && st[s] >= L &&
+            memcmp(p - L, p, (size_t)L) == 0)
+            dd++;
+        int64_t acc = 0;
+        int64_t *h = d2f[s] ? h2 : NULL;
+        int64_t lm = L & 127;
+        for (int64_t off = 0; off < L; off++) {
+            int64_t pos = (lm - (off & 127)) & 127;
+            int b = p[off];
+            acc += b;
+            hb[pos * 256 + b]++;
+            if (h) h[pos * 256 + b]++;
+        }
+        sums[s] = acc;
+    }
+    *dedup = dd;
+    return 0;
+}
+
+API int64_t fqz_stats2(const uint8_t *data, int64_t n,
+                       const int64_t *st, const int64_t *ls, int64_t nseg,
+                       const uint8_t *qb4,
+                       int64_t *k4 /* (4,128,256) */) {
+    memset(k4, 0, 4 * 128 * 256 * sizeof(*k4));
+    for (int64_t s = 0; s < nseg; s++) {
+        const uint8_t *p = data + st[s];
+        int64_t L = ls[s];
+        if (st[s] < 0 || L < 0 || st[s] + L > n || qb4[s] > 3) return -1;
+        int64_t *k = k4 + (int64_t)qb4[s] * 128 * 256;
+        int64_t lm = L & 127;
+        for (int64_t off = 0; off < L; off++) {
+            int64_t pos = (lm - (off & 127)) & 127;
+            k[pos * 256 + p[off]]++;
+        }
+    }
+    return 0;
 }
