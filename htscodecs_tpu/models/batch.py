@@ -50,12 +50,22 @@ def _as_u8(b) -> np.ndarray:
 def compress_blocks(blocks, order: int, engine: str = "auto") -> list[bytes]:
     """Compress a sequence of blocks with the rANS 4x16 codec.
 
+    Any reference order bit-field is accepted: plain 0/1 batches
+    directly; transform-flagged orders (PACK/RLE/NOSZ, STRIPE
+    containers) peel their transforms host-side and defer every
+    entropy payload — including all STRIPE per-lane method-search
+    candidates (reference rANS_static4x16pr.c:1190-1213) — into the
+    same batched device groups.  Streams are byte-identical to
+    `rans4x16.compress` in every path.
+
     engine: "auto" | "device" | "host".
     """
     arrs = [_as_u8(b) for b in blocks]
     out: list[bytes | None] = [None] * len(arrs)
 
     plain_order = order in (0, 1)
+    if not plain_order and engine != "host":
+        return _compress_blocks_transform(arrs, order, engine)
     groups: dict[int, list[int]] = defaultdict(list)
     for i, a in enumerate(arrs):
         if plain_order and engine != "host" and len(a) >= 32:
@@ -77,6 +87,185 @@ def compress_blocks(blocks, order: int, engine: str = "auto") -> list[bytes]:
     return out  # type: ignore[return-value]
 
 
+# ---------------------------------------------------------------------
+# transform-flagged encode: peel host-side, batch entropy on device
+
+def _defer_entropy(jobs: list, data: np.ndarray, order01: int) -> int:
+    jid = len(jobs)
+    jobs.append((data, order01))
+    return jid
+
+
+def _finish(cand, res):
+    return cand[1] if cand[0] == "done" else cand[1](res)
+
+
+def _peel_encode(data: np.ndarray, order: int, jobs: list):
+    """Mirror of rans4x16.compress with the entropy stages deferred.
+
+    Returns ("done", bytes) or ("fin", callable(res) -> bytes|None)
+    where res maps job ids to entropy body bytes (None body -> the
+    caller falls back to the host encoder for the whole block)."""
+    in_size = len(data)
+    if in_size <= 20:
+        order &= ~rans4x16.X_STRIPE
+
+    if order & rans4x16.X_STRIPE:
+        N = order >> 8
+        if N == 0:
+            N = 4
+        if N > 255:
+            raise ValueError("stripe N too large")
+        head = bytearray()
+        head.append(order & ~rans4x16.X_NOSZ & 0xFF)
+        varint.put_uint(head, in_size)
+        head.append(N)
+        lane_cands = []
+        for j in range(N):
+            lane = data[j::N]
+            methods = [m for m in (1, 64, 128, 0) if (order & m) == m]
+            lane_cands.append(
+                [_peel_encode(lane, m | rans4x16.X_NOSZ, jobs)
+                 for m in methods])
+
+        def fin(res, head=bytes(head), lane_cands=lane_cands):
+            streams = []
+            for cands in lane_cands:
+                best = None
+                for c in cands:
+                    s = _finish(c, res)
+                    if s is None:
+                        return None
+                    if best is None or len(s) < len(best):
+                        best = s
+                streams.append(best)
+            out = bytearray(head)
+            for s in streams:
+                varint.put_uint(out, len(s))
+            for s in streams:
+                out += s
+            return bytes(out)
+
+        return ("fin", fin)
+
+    if order & rans4x16.X_CAT:
+        out = bytearray([rans4x16.X_CAT])
+        varint.put_uint(out, in_size)
+        return ("done", bytes(out) + data.tobytes())
+
+    from ..ops import pack as packmod
+    from ..ops import rle as rlemod
+
+    do_pack = order & rans4x16.X_PACK
+    do_rle = order & rans4x16.X_RLE
+    no_size = order & rans4x16.X_NOSZ
+
+    head = bytearray()
+    head.append(order & 0xFF)
+    if not no_size:
+        varint.put_uint(head, in_size)
+    order &= 0xF
+
+    if do_pack and in_size:
+        packed, pmeta, _nsym = packmod.pack(data)
+        if len(pmeta) == 1 and pmeta[0] > 16:
+            head[0] &= ~rans4x16.X_PACK & 0xFF
+        else:
+            data = packed
+            in_size = len(packed)
+            head += pmeta
+            varint.put_uint(head, in_size)
+    elif do_pack:
+        head[0] &= ~rans4x16.X_PACK & 0xFF
+
+    rle_meta_jid = None
+    rmeta = rle_len = None
+    if do_rle and in_size:
+        lits, runs, rle_syms = rlemod.encode(data)
+        rmeta = bytes([len(rle_syms) & 0xFF]) + bytes(rle_syms.tolist()) + runs
+        rle_len = len(lits)
+        if rle_len + len(rmeta) >= 0.99 * in_size:
+            head[0] &= ~rans4x16.X_RLE & 0xFF
+        else:
+            rle_meta_jid = _defer_entropy(
+                jobs, np.frombuffer(rmeta, dtype=np.uint8), 0)
+            data = lits
+            in_size = rle_len
+    elif do_rle:
+        head[0] &= ~rans4x16.X_RLE & 0xFF
+
+    if order and in_size < 8:
+        head[0] &= ~1
+        order &= ~1
+
+    jid = _defer_entropy(jobs, data, order)
+
+    def fin(res, head=bytes(head), data=data, in_size=in_size,
+            jid=jid, rle_meta_jid=rle_meta_jid, rmeta=rmeta,
+            rle_len=rle_len, no_size=no_size):
+        out = bytearray(head)
+        if rle_meta_jid is not None:
+            c_rmeta = res.get(rle_meta_jid)
+            if c_rmeta is None:
+                return None
+            if len(c_rmeta) < len(rmeta):
+                varint.put_uint(out, len(rmeta) * 2)
+                varint.put_uint(out, rle_len)
+                varint.put_uint(out, len(c_rmeta))
+                out += c_rmeta
+            else:
+                varint.put_uint(out, len(rmeta) * 2 + 1)
+                varint.put_uint(out, rle_len)
+                out += rmeta
+        body = res.get(jid)
+        if body is None:
+            return None
+        if len(body) >= in_size:
+            out[0] = (out[0] & ~3 & 0xFF) | rans4x16.X_CAT | no_size
+            body = data.tobytes()
+        return bytes(out) + body
+
+    return ("fin", fin)
+
+
+def _encode_entropy_jobs(jobs: list, engine: str) -> dict:
+    """Encode deferred (data, order01) entropy jobs, batching
+    same-shape groups through the device engines.  Returns
+    {jid: body bytes}."""
+    results: dict[int, bytes] = {}
+    groups: dict[tuple, list[int]] = defaultdict(list)
+    for jid, (data, o) in enumerate(jobs):
+        groups[(len(data), o)].append(jid)
+    for (n, o), jids in groups.items():
+        if (engine != "device" and len(jids) < DEVICE_MIN_GROUP) or n < 32:
+            for jid in jids:
+                d = jobs[jid][0]
+                results[jid] = (rans4x16._compress_o1(d) if o
+                                else rans4x16._compress_o0(d))
+            continue
+        batch = np.stack([jobs[j][0] for j in jids])
+        bodies = _bodies_o1(batch) if o else _bodies_o0(batch)
+        for jid, body in zip(jids, bodies):
+            results[jid] = body
+    return results
+
+
+def _compress_blocks_transform(arrs, order: int, engine: str) -> list[bytes]:
+    out: list[bytes | None] = [None] * len(arrs)
+    jobs: list = []
+    fins: list[tuple[int, tuple]] = []
+    for i, a in enumerate(arrs):
+        try:
+            fins.append((i, _peel_encode(a, order, jobs)))
+        except ValueError:
+            out[i] = rans4x16.compress(a, order)
+    res = _encode_entropy_jobs(jobs, engine) if jobs else {}
+    for i, cand in fins:
+        s = _finish(cand, res)
+        out[i] = s if s is not None else rans4x16.compress(arrs[i], order)
+    return out  # type: ignore[return-value]
+
+
 def _frame(order_byte: int, n: int, body: bytes, data: np.ndarray) -> bytes:
     """Wrapper framing incl. the CAT fallback (compressed >= input)."""
     head = bytearray([order_byte])
@@ -87,14 +276,72 @@ def _frame(order_byte: int, n: int, body: bytes, data: np.ndarray) -> bytes:
     return bytes(head) + body
 
 
-def _compress_batch_o0(batch: np.ndarray) -> list[bytes]:
+# Minimum group size for the on-device table builders: below this the
+# per-dispatch latency outweighs the host C builder's per-block cost.
+TABLES_DEVICE_MIN = 512
+
+
+def _bodies_o0_devtables(batch: np.ndarray) -> list[bytes] | None:
+    """Order-0 entropy bodies with on-device table construction
+    (ops/tables_v2.py); None -> caller uses the host-table path."""
+    from ..ops import rans_v2, tables_v2
+    B, N = batch.shape
+    r = tables_v2.build_o0_device(batch)
+    if r is None:
+        return None
+    alpha_d, packed_d, asz, fhdr, A = r
+    hdrs = native.serialize_o0_batch(fhdr)
+    if hdrs is None:
+        return None
+    states, words, counts = rans_v2.enc_o0_batch(batch, alpha_d, packed_d)
+    return [hdrs[b] + states[b].astype("<u4").tobytes() +
+            words[b, :counts[b]].astype("<u2").tobytes()
+            for b in range(B)]
+
+
+def _bodies_o1_devtables(batch: np.ndarray) -> list[bytes] | None:
+    """Order-1 entropy bodies with on-device table construction.
+
+    Blocks flagged by the builder (shift-heuristic margin inside the
+    f32 band) rebuild on the host so streams stay byte-exact."""
+    from ..ops import rans_v2, tables_v2
+    B, N = batch.shape
+    r = tables_v2.build_o1_device(batch)
+    if r is None:
+        return None
+    alpha_d, packed_d, asz, fhdr, shift, flag, A = r
+    alpha_h = np.asarray(alpha_d)
+    hdrs = native.serialize_o1_dense_batch(alpha_h, asz, fhdr, shift)
+    if hdrs is None:
+        return None
+    out: list[bytes | None] = [None] * B
+    for b in np.flatnonzero(flag):
+        out[b] = rans4x16._compress_o1(batch[b])
+    ok = flag == 0
+    for sv in np.unique(shift[ok]):
+        sel = np.flatnonzero(ok & (shift == sv))
+        states, words, counts = rans_v2.enc_o1_batch(
+            batch[sel], alpha_d[sel], packed_d[sel], int(sv))
+        for k, b in enumerate(sel):
+            out[b] = hdrs[b] + states[k].astype("<u4").tobytes() + \
+                words[k, :counts[k]].astype("<u2").tobytes()
+    return out  # type: ignore[return-value]
+
+
+def _bodies_o0(batch: np.ndarray) -> list[bytes]:
+    """Entropy bodies (freq header + payload, no wrapper framing) for
+    a batch of equal-length blocks, order 0."""
     from ..ops import rans_jax, rans_v2
     B, N = batch.shape
     if not native.available():
-        return [rans4x16.compress(batch[b], 0) for b in range(B)]
+        return [rans4x16._compress_o0(batch[b]) for b in range(B)]
+    if B >= TABLES_DEVICE_MIN and N >= 32:
+        res = _bodies_o0_devtables(batch)
+        if res is not None:
+            return res
     res = _pmap(native.build_tables_o0, list(batch))
     if any(r is None for r in res):
-        return [rans4x16.compress(batch[b], 0) for b in range(B)]
+        return [rans4x16._compress_o0(batch[b]) for b in range(B)]
     hdrs = [r[0] for r in res]
     starts = np.stack([r[1] for r in res])
     freqs = np.stack([r[2] for r in res])
@@ -104,25 +351,26 @@ def _compress_batch_o0(batch: np.ndarray) -> list[bytes]:
         states, words, counts = rans_v2.enc_o0_batch(batch, alpha, packed)
     else:
         states, words, counts = rans_jax.enc_o0_batch(batch, starts, freqs, 12)
-    out = []
-    for b in range(B):
-        body = hdrs[b] + states[b].astype("<u4").tobytes() + \
+    return [hdrs[b] + states[b].astype("<u4").tobytes() +
             words[b, :counts[b]].astype("<u2").tobytes()
-        out.append(_frame(0, N, body, batch[b]))
-    return out
+            for b in range(B)]
 
 
-def _compress_batch_o1(batch: np.ndarray) -> list[bytes]:
+def _bodies_o1(batch: np.ndarray) -> list[bytes]:
     from ..ops import rans_jax, rans_v2
     B, N = batch.shape
     if N < 8 or not native.available():
-        return [rans4x16.compress(batch[b], 1) for b in range(B)]
+        return [rans4x16._compress_o1(batch[b]) for b in range(B)]
+    if B >= TABLES_DEVICE_MIN and N >= 32:
+        res = _bodies_o1_devtables(batch)
+        if res is not None:
+            return res
     res = _pmap(native.build_tables_o1_dense, list(batch))
     if any(r is None for r in res):
         # wide alphabet somewhere: rebuild sparse, use the v1 engines
         res_s = _pmap(native.build_tables_o1, list(batch))
         if any(r is None for r in res_s):
-            return [rans4x16.compress(batch[b], 1) for b in range(B)]
+            return [rans4x16._compress_o1(batch[b]) for b in range(B)]
         hdrs = [r[0] for r in res_s]
         shifts = np.array([r[3] for r in res_s], np.int32)
         out: list[bytes | None] = [None] * B
@@ -133,9 +381,8 @@ def _compress_batch_o1(batch: np.ndarray) -> list[bytes]:
             states, words, counts = rans_jax.enc_o1_batch(
                 batch[sel], starts, freqs, int(shift))
             for k, b in enumerate(sel):
-                body = hdrs[b] + states[k].astype("<u4").tobytes() + \
+                out[b] = hdrs[b] + states[k].astype("<u4").tobytes() + \
                     words[k, :counts[k]].astype("<u2").tobytes()
-                out[b] = _frame(1, N, body, batch[b])
         return out  # type: ignore[return-value]
     hdrs = [r[0] for r in res]
     shifts = np.array([r[3] for r in res], np.int32)
@@ -148,10 +395,21 @@ def _compress_batch_o1(batch: np.ndarray) -> list[bytes]:
         states, words, counts = rans_v2.enc_o1_batch(
             sub, alpha, packed, int(shift))
         for k, b in enumerate(sel):
-            body = hdrs[b] + states[k].astype("<u4").tobytes() + \
+            out[b] = hdrs[b] + states[k].astype("<u4").tobytes() + \
                 words[k, :counts[k]].astype("<u2").tobytes()
-            out[b] = _frame(1, N, body, batch[b])
     return out  # type: ignore[return-value]
+
+
+def _compress_batch_o0(batch: np.ndarray) -> list[bytes]:
+    B, N = batch.shape
+    return [_frame(0, N, body, batch[b])
+            for b, body in enumerate(_bodies_o0(batch))]
+
+
+def _compress_batch_o1(batch: np.ndarray) -> list[bytes]:
+    B, N = batch.shape
+    return [_frame(1, N, body, batch[b])
+            for b, body in enumerate(_bodies_o1(batch))]
 
 
 def r4x8_compress_blocks(blocks, order: int, engine: str = "auto") -> list[bytes]:
