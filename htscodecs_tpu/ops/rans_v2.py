@@ -341,6 +341,23 @@ def _chunkify(words: np.ndarray) -> np.ndarray:
     return out.reshape(B * NC, CHUNK)
 
 
+def _pad128(states, words, alpha, packed):
+    """Pad the block axis to a multiple of 128 with copies of row 0:
+    odd batch sizes fall off XLA's tiled layouts and decode ~8x slower
+    (measured B=6137 3.5 s vs B=6144 0.44 s at 64 KiB)."""
+    B = states.shape[0]
+    Bp = -(-B // 128) * 128
+    if Bp == B:
+        return states, words, alpha, packed, B
+    r = Bp - B
+    rep = ((states[:1].repeat(r, 0)), (words[:1].repeat(r, 0)),
+           (alpha[:1].repeat(r, 0)), (packed[:1].repeat(r, 0)))
+    return (np.concatenate([states, rep[0]]),
+            np.concatenate([words, rep[1]]),
+            np.concatenate([alpha, rep[2]]),
+            np.concatenate([packed, rep[3]]), B)
+
+
 def dec_o1_batch(states, words, out_sz: int, alpha, packed, shift: int):
     """Batched order-1 decode (dense path).
 
@@ -349,23 +366,29 @@ def dec_o1_batch(states, words, out_sz: int, alpha, packed, shift: int):
     """
     q = out_sz >> 2
     K = q + (out_sz - 4 * q)
+    states, words, alpha, packed, B = _pad128(
+        np.asarray(states), np.asarray(words),
+        np.asarray(alpha), np.asarray(packed))
     out = _dec_v2_to_bytes(
         jnp.asarray(states.astype(np.uint32)),
         jnp.asarray(_chunkify(words)),
         jnp.asarray(packed), jnp.asarray(alpha),
         shift, K, q, out_sz, 1)
-    return np.asarray(out)
+    return np.asarray(out)[:B]
 
 
 def dec_o0_batch(states, words, out_sz: int, alpha, packed,
                  shift: int = 12):
     q = -(-out_sz // 4)
+    states, words, alpha, packed, B = _pad128(
+        np.asarray(states), np.asarray(words),
+        np.asarray(alpha), np.asarray(packed))
     out = _dec_v2_to_bytes(
         jnp.asarray(states.astype(np.uint32)),
         jnp.asarray(_chunkify(words)),
         jnp.asarray(packed), jnp.asarray(alpha),
         shift, q, q, out_sz, 0)
-    return np.asarray(out)
+    return np.asarray(out)[:B]
 
 
 # ---------------------------------------------------------------------------

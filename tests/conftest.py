@@ -14,6 +14,13 @@ os.environ.setdefault(
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+# persistent XLA compilation cache: reruns skip the (dominant) compile
+# cost of the many jit shape variants these tests touch
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 REF = Path("/root/reference")
