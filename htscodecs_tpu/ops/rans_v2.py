@@ -233,9 +233,9 @@ def _win_pick(win, off):
 # ---------------------------------------------------------------------------
 # Decode
 
-@functools.partial(jax.jit, static_argnames=("shift", "K", "q", "order"))
-def _dec_scan_v2(X0, chunks, packed, shift: int, K: int, q: int, order: int):
-    """Core v2 decode scan.
+def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int):
+    """Core v2 decode scan.  ``shift`` is a static int or a traced
+    per-block (B,) i32 vector (mixed-shift batches, sharded paths).
 
     X0: (B,4) u32 initial states; chunks: (B*NC, CHUNK) u32 word
     stream (u16 values) chunked along the major axis; packed:
@@ -247,7 +247,12 @@ def _dec_scan_v2(X0, chunks, packed, shift: int, K: int, q: int, order: int):
     """
     B = X0.shape[0]
     NC = chunks.shape[0] // B
-    mask = jnp.uint32((1 << shift) - 1)
+    if isinstance(shift, int):
+        mask = jnp.uint32((1 << shift) - 1)
+        shr = shift
+    else:
+        shr = shift.astype(jnp.uint32)[:, None]            # (B,1)
+        mask = (jnp.uint32(1) << shr) - 1
     PER = DEC_R * DEC_U
     KO = -(-K // PER)
     lane3 = jnp.arange(4, dtype=jnp.int32)[None, :] == 3
@@ -269,7 +274,7 @@ def _dec_scan_v2(X0, chunks, packed, shift: int, K: int, q: int, order: int):
         symd = jnp.max(jnp.where(ok, iota, 0), axis=2)        # (B,4)
         b = _col_pick(base_r, symd).astype(jnp.uint32)
         f = _col_pick(f_r, symd).astype(jnp.uint32)
-        Xn = f * (X >> shift) + m.astype(jnp.uint32) - b
+        Xn = f * (X >> shr) + m.astype(jnp.uint32) - b
         need = (Xn < jnp.uint32(RANS_L)) & act
         ni = need.astype(jnp.int32)
         off = (p[:, None] - base) + (jnp.cumsum(ni, axis=1) - ni)
@@ -315,11 +320,10 @@ def _dec_scan_v2(X0, chunks, packed, shift: int, K: int, q: int, order: int):
     return syms, Xf
 
 
-@functools.partial(jax.jit, static_argnames=("shift", "K", "q", "N", "order"))
-def _dec_v2_to_bytes(X0, chunks, packed, alpha, shift: int, K: int, q: int,
-                     N: int, order: int):
+def _dec_to_bytes_impl(X0, chunks, packed, alpha, shift, K: int, q: int,
+                       N: int, order: int):
     """Decode + dense->byte mapping + (K,B,4)->(B,N) reassembly."""
-    syms, _ = _dec_scan_v2(X0, chunks, packed, shift, K, q, order)
+    syms, _ = _dec_scan_impl(X0, chunks, packed, shift, K, q, order)
     B = X0.shape[0]
     out_b = _undensify(jnp.transpose(syms[:K], (1, 0, 2)), alpha)  # (B,K,4)
     if order == 1:
@@ -330,6 +334,26 @@ def _dec_v2_to_bytes(X0, chunks, packed, alpha, shift: int, K: int, q: int,
         return jnp.concatenate([main, tailp[:, :N - 4 * q]], axis=1)
     flat = out_b.reshape(B, K * 4)
     return flat[:, :N]
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "K", "q", "order"))
+def _dec_scan_v2(X0, chunks, packed, shift: int, K: int, q: int, order: int):
+    return _dec_scan_impl(X0, chunks, packed, shift, K, q, order)
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "K", "q", "N", "order"))
+def _dec_v2_to_bytes(X0, chunks, packed, alpha, shift: int, K: int, q: int,
+                     N: int, order: int):
+    return _dec_to_bytes_impl(X0, chunks, packed, alpha, shift, K, q, N,
+                              order)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "q", "N", "order"))
+def _dec_v2_to_bytes_pb(X0, chunks, packed, alpha, shiftv, K: int, q: int,
+                        N: int, order: int):
+    """Per-block traced shift variant (mixed 10/12-bit batches)."""
+    return _dec_to_bytes_impl(X0, chunks, packed, alpha, shiftv, K, q, N,
+                              order)
 
 
 def _chunkify(words: np.ndarray) -> np.ndarray:
@@ -394,9 +418,8 @@ def dec_o0_batch(states, words, out_sz: int, alpha, packed,
 # ---------------------------------------------------------------------------
 # Encode
 
-@functools.partial(jax.jit, static_argnames=("shift", "order", "seg_cap"))
-def _enc_scan_v2(blocks, alpha, packed, shift: int, order: int,
-                 seg_cap: int = SEG_CAP):
+def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
+                   seg_cap: int = SEG_CAP):
     """Core v2 encode: densify, build processing-order params on
     device, run the reverse scan fetching (start,freq) from the dense
     packed tables, and sort-compact the emitted words.
@@ -462,7 +485,12 @@ def _enc_scan_v2(blocks, alpha, packed, shift: int, order: int,
     ctx_p = ctx_p.astype(jnp.uint8)
 
     x0 = jnp.full((B, 4), RANS_L, dtype=jnp.uint32)
-    xmax_mult = jnp.uint32((RANS_L >> shift) << 16)
+    if isinstance(shift, int):
+        xmax_mult = jnp.uint32((RANS_L >> shift) << 16)
+        shl = shift
+    else:
+        shl = shift.astype(jnp.uint32)[:, None]            # (B,1)
+        xmax_mult = (jnp.uint32(RANS_L) >> shl) << 16
 
     def step(x, inp):
         ctx, sym, ok = inp
@@ -482,7 +510,7 @@ def _enc_scan_v2(blocks, alpha, packed, shift: int, order: int,
         word = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
         x2 = jnp.where(emit, x >> 16, x)
         qq = x2 // freq_s
-        newx = (qq << shift) + (x2 - qq * freq_s) + start
+        newx = (qq << shl) + (x2 - qq * freq_s) + start
         x = jnp.where(ok, newx, x)
         return x, (word, emit)
 
@@ -498,6 +526,19 @@ def _enc_scan_v2(blocks, alpha, packed, shift: int, order: int,
     w, e = lax.optimization_barrier((w, e))
     out, n, overflow = _compact(w, e, seg_cap)
     return xf[:, ::-1], out, n, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "order", "seg_cap"))
+def _enc_scan_v2(blocks, alpha, packed, shift: int, order: int,
+                 seg_cap: int = SEG_CAP):
+    return _enc_scan_impl(blocks, alpha, packed, shift, order, seg_cap)
+
+
+@functools.partial(jax.jit, static_argnames=("order", "seg_cap"))
+def _enc_scan_v2_pb(blocks, alpha, packed, shiftv, order: int,
+                    seg_cap: int = SEG_CAP):
+    """Per-block traced shift variant (mixed 10/12-bit batches)."""
+    return _enc_scan_impl(blocks, alpha, packed, shiftv, order, seg_cap)
 
 
 def _enc_with_fallback(blocks, alpha, packed, shift: int, order: int):

@@ -1,0 +1,306 @@
+"""Multi-chip / multi-host scale-out for the rANS 4x16 codec.
+
+The codec has no cross-block dataflow (SURVEY §2): scale-out is
+block-level data parallelism over a 1-D device mesh, with only three
+kinds of cross-host traffic, all O(scalars) or O(#blocks):
+
+- table-build coordination: the global max alphabet size (one pmax)
+  and the compaction-overflow retry verdict (one pmax);
+- the ragged container index: per-block compressed lengths allgather
+  so every process knows its blocks' global byte offsets;
+- nothing else — compressed payloads stay on the host that produced
+  them (each process writes its own archive segment).
+
+Entry points:
+- ``init_distributed``       jax.distributed bring-up for N>=2 hosts
+- ``block_mesh``             1-D mesh over the global devices
+- ``compress_blocks_o1``     sharded order-1 encode (per-block traced
+                             shift: mixed 10/12-bit batches run in one
+                             shard_map, no host-side grouping)
+- ``uncompress_blocks_o1``   sharded decode of equal-size streams
+- ``archive_offsets``        ragged global offsets from local lengths
+
+Single-process multi-device works identically (the dryrun path); with
+``jax.distributed`` initialised the same code runs one process per
+host with local shards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import native
+from ..models import rans4x16
+from ..ops import rans_v2, tables_v2
+from ..utils import varint
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None, **kw) -> bool:
+    """Bring up jax.distributed for a multi-host run.  No-op (returns
+    False) when no arguments are given and JAX coordinator env vars
+    are absent; returns True after initialising."""
+    import os
+    if (coordinator_address is None and num_processes is None
+            and "JAX_COORDINATOR_ADDRESS" not in os.environ):
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id, **kw)
+    return True
+
+
+def block_mesh(axis_name: str = "b", devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _allgather_max(x: int) -> int:
+    """Global max of a host scalar (identity for single-process)."""
+    if jax.process_count() == 1:
+        return int(x)
+    from jax.experimental import multihost_utils
+    vals = multihost_utils.process_allgather(np.asarray([x], np.int64))
+    return int(np.max(vals))
+
+
+def _to_global(local_rows: np.ndarray, mesh: Mesh):
+    """Local (per-process) rows -> a global array sharded over the
+    mesh's first axis.  Row counts must match the per-process device
+    share (callers pad)."""
+    spec = P(mesh.axis_names[0], *([None] * (local_rows.ndim - 1)))
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(local_rows, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_rows)
+
+
+def _local_np(garr) -> np.ndarray:
+    """This process's rows of a sharded global array, in row order."""
+    shards = sorted(garr.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0))
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
+# ---------------------------------------------------------------------------
+# sharded order-1 encode
+
+def _presence_fn(mesh: Mesh):
+    ax = mesh.axis_names[0]
+
+    def local(jb):
+        pres, amax = tables_v2._presence_jit(jb)
+        return pres, lax.pmax(amax, ax)
+
+    return jax.shard_map(local, mesh=mesh, in_specs=P(ax, None),
+                         out_specs=(P(ax, None), P()), check_vma=False)
+
+
+def _encode_fn(mesh: Mesh, A: int, N: int, seg_cap: int):
+    ax = mesh.axis_names[0]
+
+    def local(jb, pres):
+        alpha, packed, fhdr, meta, H = tables_v2._build_o1_jit(
+            jb, pres, A, N)
+        states, words, counts, ovf = rans_v2._enc_scan_v2_pb(
+            jb, alpha, packed, meta[:, 1], 1, seg_cap=seg_cap)
+        return (alpha, fhdr, meta, H, states, words, counts,
+                lax.pmax(ovf.astype(jnp.int32), ax))
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P(ax, None), P(ax, None)),
+        out_specs=(P(ax, None), P(ax, None, None), P(ax, None),
+                   P(ax, None, None), P(ax, None), P(ax, None),
+                   P(ax), P()),
+        check_vma=False)
+
+
+def _pad_rows(arr: np.ndarray, mult: int):
+    B = arr.shape[0]
+    pad = (-B) % mult
+    if pad:
+        arr = np.concatenate([arr, np.repeat(arr[:1], pad, axis=0)])
+    return arr, B
+
+
+def compress_blocks_o1(blocks: np.ndarray, mesh: Mesh | None = None
+                       ) -> list[bytes]:
+    """Sharded order-1 compression of this process's equal-length
+    blocks (B, N).  Streams are byte-identical to
+    ``rans4x16.compress(b, 1)``.  Wide alphabets (A > 96) and the rare
+    shift-band decision flips rebuild on the host."""
+    if mesh is None:
+        mesh = block_mesh()
+    B, N = blocks.shape
+    if N < 32 or not native.available():
+        return [rans4x16.compress(b, 1) for b in blocks]
+    nloc = max(len(mesh.local_devices), 1)
+    arr, _ = _pad_rows(np.ascontiguousarray(blocks, np.uint8), nloc)
+    garr = _to_global(arr, mesh)
+
+    pres, amax_g = _presence_fn(mesh)(garr)
+    amax = _allgather_max(int(np.asarray(amax_g)))
+    if amax > tables_v2.MAX_DENSE_A or N >= (1 << 24):
+        return [rans4x16.compress(b, 1) for b in blocks]
+    A = rans_v2._round_a(amax)
+
+    res = _encode_fn(mesh, A, N, rans_v2.SEG_CAP)(garr, pres)
+    if int(np.asarray(res[7])):      # compaction overflow: exact path
+        res = _encode_fn(mesh, A, N, rans_v2.SEG)(garr, pres)
+    alpha_g, fhdr_g, meta_g, H_g, states_g, words_g, counts_g, _ = res
+
+    # host-local assembly of this process's rows
+    alpha = _local_np(alpha_g)
+    fhdr = _local_np(fhdr_g)
+    meta = _local_np(meta_g)
+    states = _local_np(states_g)
+    words = _local_np(words_g)
+    counts = _local_np(counts_g)
+    asz, shift, flag = meta[:, 0], meta[:, 1], meta[:, 2].copy()
+    if flag.any():
+        flat = np.flatnonzero(flag)
+        Hsel = np.asarray(H_g[flat]) if jax.process_count() == 1 else \
+            _local_np(H_g)[flat]
+        for k, b in enumerate(flat):
+            if tables_v2._pick_shift_exact(Hsel[k], int(asz[b])) == shift[b]:
+                flag[b] = 0
+    hdrs = native.serialize_o1_dense_batch(alpha, asz, fhdr, shift)
+    if hdrs is None:
+        return [rans4x16.compress(b, 1) for b in blocks]
+
+    from ..models.batch import _frame
+    out: list[bytes] = []
+    for b in range(B):
+        if flag[b]:
+            out.append(rans4x16.compress(blocks[b], 1))
+            continue
+        body = hdrs[b] + states[b].astype("<u4").tobytes() + \
+            words[b, :counts[b]].astype("<u2").tobytes()
+        out.append(_frame(1, N, body, blocks[b]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sharded decode
+
+def _decode_fn(mesh: Mesh, K: int, q: int, N: int, cap: int):
+    ax = mesh.axis_names[0]
+
+    def local(states, words, packed, alpha, shiftv):
+        Bb = states.shape[0]
+        padded = jnp.zeros((Bb, cap), jnp.uint32)
+        padded = padded.at[:, :words.shape[1]].set(
+            words.astype(jnp.uint32))
+        chunks = padded.reshape(Bb * (cap // rans_v2.CHUNK),
+                                rans_v2.CHUNK)
+        return rans_v2._dec_v2_to_bytes_pb(
+            states, chunks, packed, alpha, shiftv, K, q, N, 1)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(ax, None), P(ax, None), P(ax, None, None),
+                  P(ax, None), P(ax)),
+        out_specs=P(ax, None), check_vma=False)
+
+
+def uncompress_blocks_o1(streams, mesh: Mesh | None = None) -> list[bytes]:
+    """Sharded decode of equal-output-size plain order-1 streams
+    produced by compress_blocks_o1 (falls back to the host decoder for
+    anything else)."""
+    if mesh is None:
+        mesh = block_mesh()
+    streams = [bytes(s) for s in streams]
+
+    def host_all():
+        return [rans4x16.uncompress(s) for s in streams]
+
+    parsed = []
+    N = None
+    for s in streams:
+        if len(s) < 2 or s[0] != 1:
+            return host_all()
+        osz, pos = varint.get_uint(s, 1, len(s))
+        if N is None:
+            N = osz
+        elif osz != N:
+            return host_all()
+        r = native.parse_tables_o1_dense(s[pos:]) if native.available() \
+            else None
+        if r is None:
+            return host_all()
+        off, al, pk, sh = r
+        payload = s[pos + off:]
+        if len(payload) < 16:
+            return host_all()
+        parsed.append((al, pk, sh, payload))
+    if N is None or N < 4:
+        return host_all()
+
+    B = len(parsed)
+    amax = _allgather_max(max(len(p[0]) for p in parsed))
+    if amax > tables_v2.MAX_DENSE_A:
+        return host_all()
+    A = rans_v2._round_a(amax)
+    W = _allgather_max(max((len(p[3]) - 16) // 2 for p in parsed))
+    W = max(W, 1)
+
+    alpha = np.zeros((B, A), np.uint8)
+    packed = np.zeros((B, A, A), np.int32)
+    states = np.zeros((B, 4), np.uint32)
+    words = np.zeros((B, W), "<u2")
+    shift = np.zeros(B, np.int32)
+    for k, (al, pk, sh, payload) in enumerate(parsed):
+        a = len(al)
+        alpha[k, :a] = al
+        alpha[k, a:] = al[-1] if a else 0
+        packed[k, :a, :a] = pk
+        shift[k] = sh
+        states[k] = np.frombuffer(payload[:16], "<u4")
+        w = np.frombuffer(payload[16:16 + 2 * ((len(payload) - 16) // 2)],
+                          "<u2")
+        words[k, :len(w)] = w
+
+    nloc = max(len(mesh.local_devices), 1)
+    statesp, _ = _pad_rows(states, nloc)
+    wordsp, _ = _pad_rows(words, nloc)
+    alphap, _ = _pad_rows(alpha, nloc)
+    packedp, _ = _pad_rows(packed, nloc)
+    shiftp, _ = _pad_rows(shift, nloc)
+
+    cap = max(-(-W // rans_v2.CHUNK), 2) * rans_v2.CHUNK
+    q = N >> 2
+    K = q + (N - 4 * q)
+    out_g = _decode_fn(mesh, K, q, N, cap)(
+        _to_global(statesp, mesh), _to_global(wordsp, mesh),
+        _to_global(packedp, mesh), _to_global(alphap, mesh),
+        _to_global(shiftp, mesh))
+    out = _local_np(out_g)[:B]
+    return [out[k].tobytes() for k in range(B)]
+
+
+# ---------------------------------------------------------------------------
+# ragged container index
+
+def archive_offsets(local_lengths) -> tuple[np.ndarray, int]:
+    """Global byte offsets for this process's compressed blocks.
+
+    Every process calls this with its per-block stream lengths (equal
+    counts across processes — pad with zero-length entries if needed);
+    the lengths allgather (the only payload-related cross-host
+    traffic) and each process computes its blocks' offsets in the
+    concatenated global archive.  Returns (offsets (L,), total_bytes)."""
+    ll = np.asarray(local_lengths, np.int64)
+    if jax.process_count() == 1:
+        offs = np.cumsum(ll) - ll
+        return offs, int(ll.sum())
+    from jax.experimental import multihost_utils
+    allv = multihost_utils.process_allgather(ll)       # (nproc, L)
+    flat = allv.reshape(-1)
+    offs_all = (np.cumsum(flat) - flat).reshape(allv.shape)
+    return offs_all[jax.process_index()], int(flat.sum())

@@ -20,6 +20,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# The axon site plugin force-selects jax_platforms="axon,cpu" from
+# sitecustomize, overriding the env var; pin the virtual CPU mesh back
+# (the real-TPU path is exercised by bench.py, not pytest).  Export
+# HTSCODECS_TEST_PLATFORM to run the suite against another backend.
+jax.config.update("jax_platforms",
+                  os.environ.get("HTSCODECS_TEST_PLATFORM", "cpu"))
 
 import pytest  # noqa: E402
 
