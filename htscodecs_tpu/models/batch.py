@@ -1,8 +1,10 @@
 """Batched block codec API.
 
 Compresses/decompresses many independent CRAM blocks at once, routing
-the entropy payload work to the batched TPU engines (ops/rans_jax.py)
-when a group is large enough, and to the native host kernels otherwise.
+the entropy payload work to the batched TPU engines (ops/rans_v2.py,
+dense alphabets A <= 96; wider alphabets go to the native scalar
+coder, which outperforms gather-based device scans) when a group is
+large enough, and to the native host kernels otherwise.
 Streams are byte-identical to `rans4x16.compress` / the C reference in
 every path.
 
@@ -331,7 +333,7 @@ def _bodies_o1_devtables(batch: np.ndarray) -> list[bytes] | None:
 def _bodies_o0(batch: np.ndarray) -> list[bytes]:
     """Entropy bodies (freq header + payload, no wrapper framing) for
     a batch of equal-length blocks, order 0."""
-    from ..ops import rans_jax, rans_v2
+    from ..ops import rans_v2
     B, N = batch.shape
     if not native.available():
         return [rans4x16._compress_o0(batch[b]) for b in range(B)]
@@ -346,18 +348,18 @@ def _bodies_o0(batch: np.ndarray) -> list[bytes]:
     starts = np.stack([r[1] for r in res])
     freqs = np.stack([r[2] for r in res])
     dense = rans_v2.densify_group_o0(freqs, starts)
-    if dense is not None:
-        alpha, packed, _ = dense
-        states, words, counts = rans_v2.enc_o0_batch(batch, alpha, packed)
-    else:
-        states, words, counts = rans_jax.enc_o0_batch(batch, starts, freqs, 12)
+    if dense is None:
+        # wide alphabet: native scalar coder beats the v1 gather path
+        return _pmap(rans4x16._compress_o0, list(batch))
+    alpha, packed, _ = dense
+    states, words, counts = rans_v2.enc_o0_batch(batch, alpha, packed)
     return [hdrs[b] + states[b].astype("<u4").tobytes() +
             words[b, :counts[b]].astype("<u2").tobytes()
             for b in range(B)]
 
 
 def _bodies_o1(batch: np.ndarray) -> list[bytes]:
-    from ..ops import rans_jax, rans_v2
+    from ..ops import rans_v2
     B, N = batch.shape
     if N < 8 or not native.available():
         return [rans4x16._compress_o1(batch[b]) for b in range(B)]
@@ -367,23 +369,11 @@ def _bodies_o1(batch: np.ndarray) -> list[bytes]:
             return res
     res = _pmap(native.build_tables_o1_dense, list(batch))
     if any(r is None for r in res):
-        # wide alphabet somewhere: rebuild sparse, use the v1 engines
-        res_s = _pmap(native.build_tables_o1, list(batch))
-        if any(r is None for r in res_s):
-            return [rans4x16._compress_o1(batch[b]) for b in range(B)]
-        hdrs = [r[0] for r in res_s]
-        shifts = np.array([r[3] for r in res_s], np.int32)
-        out: list[bytes | None] = [None] * B
-        for shift in np.unique(shifts):
-            sel = np.flatnonzero(shifts == shift)
-            starts = np.stack([res_s[b][1] for b in sel])
-            freqs = np.stack([res_s[b][2] for b in sel])
-            states, words, counts = rans_jax.enc_o1_batch(
-                batch[sel], starts, freqs, int(shift))
-            for k, b in enumerate(sel):
-                out[b] = hdrs[b] + states[k].astype("<u4").tobytes() + \
-                    words[k, :counts[k]].astype("<u2").tobytes()
-        return out  # type: ignore[return-value]
+        # wide alphabet (A > 96) somewhere: such data is rare (random
+        # literals usually CAT out) and the native scalar coder beats
+        # both the v1 gather engines and a 256-wide dense scan
+        # (measured: docs/PERF_NOTES.md); thread the host coder
+        return _pmap(rans4x16._compress_o1, list(batch))
     hdrs = [r[0] for r in res]
     shifts = np.array([r[3] for r in res], np.int32)
     out = [None] * B
@@ -873,12 +863,12 @@ def _decode_entropy_jobs(jobs, engine: str) -> dict:
                 off, alpha, packed, shift = r
                 groups[(1, osz, shift)].append((jid, s, off, alpha, packed))
             else:
-                r = native.parse_tables_o1(s)
-                if r is None:
-                    continue
-                off, sfb, f2d, b2d, shift = r
-                groups[(1, osz, shift, "sparse")].append(
-                    (jid, s, off, sfb, f2d, b2d))
+                # wide alphabet (A > 96): the native scalar decoder
+                # beats the v1 gather engines (docs/PERF_NOTES.md);
+                # rare in practice (wide random data CATs out)
+                rr = rans4x16._uncompress_o1(memoryview(s), 0, len(s), osz)
+                if rr is not None:
+                    results[jid] = rr
         else:
             r = native.parse_tables_o0(s)
             if r is None:
@@ -886,7 +876,7 @@ def _decode_entropy_jobs(jobs, engine: str) -> dict:
             off, ssym, sfreq, sbase = r
             groups[(0, osz)].append((jid, s, off, ssym, sfreq, sbase))
 
-    from ..ops import rans_jax, rans_v2
+    from ..ops import rans_v2
     for key, items in groups.items():
         order, osz = key[0], key[1]
         if engine != "device" and len(items) < DEVICE_MIN_GROUP:
@@ -908,17 +898,10 @@ def _decode_entropy_jobs(jobs, engine: str) -> dict:
             words[k, :len(w)] = w
         if order == 1:
             shift = key[2]
-            if len(key) == 3:     # dense-parsed group
-                alpha, packed, _ = rans_v2.densify_builds(
-                    (t[3], t[4]) for t in items)
-                dec = rans_v2.dec_o1_batch(states, words, osz, alpha,
-                                           packed, shift)
-            else:                  # sparse fallback (alphabet > 96)
-                sfb = np.stack([t[3] for t in items])
-                f2d = np.stack([t[4] for t in items])
-                b2d = np.stack([t[5] for t in items])
-                dec = rans_jax.dec_o1_batch(states, words, osz, sfb, f2d,
-                                            b2d, shift)
+            alpha, packed, _ = rans_v2.densify_builds(
+                (t[3], t[4]) for t in items)
+            dec = rans_v2.dec_o1_batch(states, words, osz, alpha,
+                                       packed, shift)
         else:
             # per-slot LUTs -> per-symbol tables: sbase[m] = m - start
             frs = np.zeros((B, 256), np.uint32)
@@ -930,15 +913,15 @@ def _decode_entropy_jobs(jobs, engine: str) -> dict:
                 frs[k, sym] = t[4]
                 sts[k, sym] = slot - t[5]
             dense = rans_v2.densify_group_o0(frs, sts)
-            if dense is not None:
-                alpha, packed, _ = dense
-                dec = rans_v2.dec_o0_batch(states, words, osz, alpha, packed)
-            else:
-                ssym = np.stack([t[3] for t in items])
-                sfreq = np.stack([t[4] for t in items])
-                sbase = np.stack([t[5] for t in items])
-                dec = rans_jax.dec_o0_batch(states, words, osz, ssym,
-                                            sfreq, sbase, 12)
+            if dense is None:
+                for it in items:
+                    rr = rans4x16._uncompress_o0(
+                        memoryview(it[1]), 0, len(it[1]), osz)
+                    if rr is not None:
+                        results[it[0]] = rr
+                continue
+            alpha, packed, _ = dense
+            dec = rans_v2.dec_o0_batch(states, words, osz, alpha, packed)
         for k, it in enumerate(items):
             results[it[0]] = dec[k]
 

@@ -1,27 +1,12 @@
-"""Batched rANS 4x16 engines for TPU (JAX/XLA).
+"""Batched rANS 4x16 engines, v1 (gather-based) — TEST ORACLE.
 
-The CRAM 4x16 format fixes 4 interleaved states per block, so on-chip
-parallelism comes from batching B independent blocks: every scan step
-advances 4 states in each of B blocks as one (B, 4) vector operation.
-
-Key formulation choices (TPU-first, not a C translation):
-
-- Encode is a reverse `lax.scan` whose per-symbol coding parameters
-  (start, freq) are gathered *up front* with one large XLA gather —
-  the scan body is pure elementwise u32 arithmetic, no gathers.
-- Renormalisation emits at most one u16 per symbol; we record
-  (word, flag) pairs per step and compact them afterwards with a
-  cumsum + one scatter (the bitstream is written back-to-front, so the
-  forward stream is the reverse of emission order).
-- Decode keeps a shared per-block word pointer: the four states'
-  consumptions within a step are resolved with an exclusive cumsum of
-  the per-state renorm flags, turning the serial pointer chase into
-  two batched gathers per step (LUT lookup + word fetch).
-
-All arithmetic is uint32 with the exact state-transition maths of
-``rANS_word.h`` (L = 1<<15; x' = ((x//f)<<shift) + x%f + start), so
-streams are byte-identical to the scalar host engine and the C
-reference.
+Superseded on every production path by the dense-alphabet v2 engines
+(ops/rans_v2.py); wide alphabets (A > 96) route to the native scalar
+coder, which outperforms these gather-based scans on TPU (measured
+~20 ns/element for arbitrary 2D gathers, docs/PERF_NOTES.md).  This
+module is kept as an independent third implementation for the
+engine x vector conformance matrix (tests/test_oracle_matrix.py,
+tests/test_rans_jax.py).
 """
 
 from __future__ import annotations
