@@ -255,6 +255,11 @@ def compress(data, order: int) -> bytes:
     if in_size <= 20:
         order &= ~X_STRIPE
 
+    if _USE_NATIVE and not (order & X_STRIPE) and in_size:
+        r = _native.compress_wrapped(data, order)
+        if r is not None:
+            return r
+
     if order & X_STRIPE:
         N = order >> 8
         if N == 0:

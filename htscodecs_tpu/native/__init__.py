@@ -115,6 +115,8 @@ def _get_lib_locked():
                "arith_dec_o0_rle", "arith_dec_o1_rle"):
         _sig(getattr(lib, nm), i64, [u8p, i64, u8p, i64])
     c_int = ctypes.c_int
+    _sig(lib.r16_compress_wrapped, i64,
+         [u8p, i64, ctypes.c_int32, u8p, i64])
     _sig(lib.fqz_stats1, i64,
          [u8p, i64, i64p, i64p, i64, u8p, i64p, i64p, i64p, i64p])
     _sig(lib.fqz_stats2, i64,
@@ -361,6 +363,25 @@ def parse_tables_o1_dense(blob, max_a: int = 96):
     n = na.value
     return (int(off), alpha[:n].copy(),
             packed[:n * n].reshape(n, n).copy(), int(sh.value))
+
+
+def compress_wrapped(data: np.ndarray, order: int):
+    """Full non-STRIPE transform-wrapper encode (pack/RLE/framing/CAT)
+    in one native call; byte-identical to models/rans4x16.compress.
+    Returns stream bytes or None (caller keeps the Python path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a, ap = _u8(data)
+    n = len(a)
+    cap = 3 * n + 2048 + 257 * 257 * 3
+    buf = np.empty(cap, np.uint8)
+    r = lib.r16_compress_wrapped(
+        ap, n, order, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap)
+    if r < 0:
+        return None
+    return buf[:r].tobytes()
 
 
 def fqz_stats1(data: np.ndarray, st: np.ndarray, ls: np.ndarray,

@@ -2569,3 +2569,215 @@ API int64_t fqz_stats2(const uint8_t *data, int64_t n,
     }
     return 0;
 }
+
+/* ---------------------------------------------------------------- */
+/* full rANS 4x16 transform wrapper (non-STRIPE): bit-pack + RLE +   */
+/* framing + CAT fallback, byte-identical to models/rans4x16.py      */
+/* compress() (reference rANS_static4x16pr.c:1218-1406).  Hot for    */
+/* the tok3 descriptor method search (up to 9 candidate encodes per  */
+/* descriptor, all previously Python+numpy per call).                */
+
+enum { W_PACK = 0x80, W_RLE = 0x40, W_CAT = 0x20, W_NOSZ = 0x10 };
+
+/* bit-pack per ops/pack.py pack() / reference pack.c:56-84.
+ * Returns packed length (>= 0) with meta in mbuf/mlen, or -1 when the
+ * alphabet is 17..255 wide (caller clears the flag). */
+static int64_t w_pack(const uint8_t *in, int64_t n, uint8_t *out,
+                      uint8_t *mbuf, int *mlen) {
+    uint32_t present[256];
+    memset(present, 0, sizeof present);
+    for (int64_t i = 0; i < n; i++) present[in[i]] = 1;
+    uint8_t code[256], syms[256];
+    int ns = 0;
+    for (int j = 0; j < 256; j++) {
+        if (present[j]) {
+            code[j] = (uint8_t)ns;
+            syms[ns++] = (uint8_t)j;
+        }
+    }
+    if (ns > 16) {
+        mbuf[0] = (uint8_t)(ns & 0xFF);
+        *mlen = 1;
+        if (ns <= 255) return -1;       /* 17..255: flag cleared      */
+        memcpy(out, in, n);             /* 256: verbatim, meta 0      */
+        return n;
+    }
+    mbuf[0] = (uint8_t)ns;
+    memcpy(mbuf + 1, syms, ns);
+    *mlen = 1 + ns;
+    int64_t o = 0;
+    if (ns > 4) {                       /* 2 per byte */
+        int64_t half = n / 2 * 2;
+        for (int64_t i = 0; i < half; i += 2)
+            out[o++] = (uint8_t)(code[in[i]] | (code[in[i + 1]] << 4));
+        if (n & 1) out[o++] = code[in[half]];
+    } else if (ns > 2) {                /* 4 per byte */
+        int64_t q = n / 4 * 4;
+        for (int64_t i = 0; i < q; i += 4)
+            out[o++] = (uint8_t)(code[in[i]] | (code[in[i + 1]] << 2)
+                                 | (code[in[i + 2]] << 4)
+                                 | (code[in[i + 3]] << 6));
+        if (n != q) {
+            int t = 0;
+            for (int64_t k = q; k < n; k++)
+                t |= code[in[k]] << (2 * (k - q));
+            out[o++] = (uint8_t)t;
+        }
+    } else if (ns > 1) {                /* 8 per byte */
+        int64_t e = n / 8 * 8;
+        for (int64_t i = 0; i < e; i += 8) {
+            int t = 0;
+            for (int b = 0; b < 8; b++) t |= code[in[i + b]] << b;
+            out[o++] = (uint8_t)t;
+        }
+        if (n != e) {
+            int t = 0;
+            for (int64_t k = e; k < n; k++)
+                t |= code[in[k]] << (k - e);
+            out[o++] = (uint8_t)t;
+        }
+    }
+    /* ns <= 1: zero payload bytes */
+    return o;
+}
+
+/* RLE transform per ops/rle.py encode() / reference rle.c: scoring
+ * pass picks the coded symbols, runs split into literals + varint
+ * (len-1) streams.  Returns literal count; meta (nsyms byte + syms +
+ * run varints) in meta/meta_len. */
+static int64_t w_rle(const uint8_t *in, int64_t n, uint8_t *lits,
+                     uint8_t *meta, int64_t *meta_len) {
+    int64_t saved[256];
+    memset(saved, 0, sizeof saved);
+    for (int64_t i = 0; i < n; i++)
+        saved[in[i]] += (i > 0 && in[i] == in[i - 1]) ? 1 : -1;
+    uint8_t keep[256];
+    int nsym = 0;
+    for (int j = 0; j < 256; j++) {
+        keep[j] = saved[j] > 0;
+        nsym += keep[j];
+    }
+    meta[0] = (uint8_t)(nsym & 0xFF);
+    int64_t mp = 1;
+    for (int j = 0; j < 256; j++)
+        if (keep[j]) meta[mp++] = (uint8_t)j;
+    int64_t nl = 0;
+    for (int64_t i = 0; i < n;) {
+        int64_t j = i + 1;
+        while (j < n && in[j] == in[i]) j++;
+        if (keep[in[i]]) {
+            lits[nl++] = in[i];
+            mp += vput(meta + mp, (uint32_t)(j - i - 1));
+        } else {
+            for (int64_t k = i; k < j; k++) lits[nl++] = in[k];
+        }
+        i = j;
+    }
+    *meta_len = mp;
+    return nl;
+}
+
+/* Full wrapper encode.  Returns stream length, or a negative code for
+ * the cases the Python caller keeps (-3: stripe/empty/unsupported). */
+API int64_t r16_compress_wrapped(const uint8_t *in, int64_t n,
+                                 int32_t order, uint8_t *out,
+                                 int64_t cap) {
+    if ((order & 0x08) || n <= 0)
+        return -3;                     /* STRIPE / empty: Python path */
+    if (cap < n + 1024 + 2 * n)
+        return -2;
+    if (order & W_CAT) {
+        int64_t o = 0;
+        out[o++] = W_CAT;
+        o += vput(out + o, (uint32_t)n);
+        memcpy(out + o, in, n);
+        return o + n;
+    }
+    int do_pack = order & W_PACK;
+    int do_rle = order & W_RLE;
+    int no_size = order & W_NOSZ;
+    int64_t o = 0;
+    out[o++] = (uint8_t)(order & 0xFF);
+    if (!no_size) o += vput(out + o, (uint32_t)n);
+    order &= 0xF;
+
+    uint8_t *pbuf = NULL, *lbuf = NULL, *rmeta = NULL, *crm = NULL;
+    const uint8_t *data = in;
+    int64_t dn = n;
+    int64_t ret = -1;
+
+    if (do_pack) {
+        uint8_t mbuf[17];
+        int mlen = 0;
+        pbuf = malloc(dn + 8);
+        if (!pbuf) goto done;
+        int64_t pl = w_pack(data, dn, pbuf, mbuf, &mlen);
+        if (pl < 0) {
+            out[0] &= (uint8_t)~W_PACK;
+        } else {
+            data = pbuf;
+            dn = pl;
+            memcpy(out + o, mbuf, mlen);
+            o += mlen;
+            o += vput(out + o, (uint32_t)dn);
+        }
+    }
+
+    if (do_rle && dn) {
+        lbuf = malloc(dn + 8);
+        rmeta = malloc(dn + 300 + 8);
+        if (!lbuf || !rmeta) goto done;
+        int64_t mlen64 = 0;
+        int64_t rl = w_rle(data, dn, lbuf, rmeta, &mlen64);
+        if ((double)rl + (double)mlen64 >= 0.99 * (double)dn) {
+            out[0] &= (uint8_t)~W_RLE;
+        } else {
+            crm = malloc(mlen64 + 1024 + 257 * 3 + 64);
+            if (!crm) goto done;
+            int64_t cl = r16_enc_o0(rmeta, mlen64,
+                                    crm, mlen64 + 1024 + 257 * 3 + 64);
+            if (cl > 0 && cl < mlen64) {
+                o += vput(out + o, (uint32_t)(2 * mlen64));
+                o += vput(out + o, (uint32_t)rl);
+                o += vput(out + o, (uint32_t)cl);
+                memcpy(out + o, crm, cl);
+                o += cl;
+            } else {
+                o += vput(out + o, (uint32_t)(2 * mlen64 + 1));
+                o += vput(out + o, (uint32_t)rl);
+                memcpy(out + o, rmeta, mlen64);
+                o += mlen64;
+            }
+            data = lbuf;
+            dn = rl;
+        }
+    } else if (do_rle) {
+        out[0] &= (uint8_t)~W_RLE;
+    }
+
+    if (order && dn < 8) {
+        out[0] &= (uint8_t)~1;
+        order = 0;
+    }
+    if (dn == 0) { ret = -3; goto done; }  /* empty body: Python path */
+
+    {
+        int64_t bl = order
+            ? r16_enc_o1(data, dn, out + o, cap - o)
+            : r16_enc_o0(data, dn, out + o, cap - o);
+        if (bl < 0) { ret = -1; goto done; }
+        if (bl >= dn) {                     /* CAT fallback */
+            out[0] = (uint8_t)((out[0] & ~3) | W_CAT | no_size);
+            if (o + dn > cap) { ret = -1; goto done; }
+            memcpy(out + o, data, dn);
+            bl = dn;
+        }
+        ret = o + bl;
+    }
+ done:
+    free(pbuf);
+    free(lbuf);
+    free(rmeta);
+    free(crm);
+    return ret;
+}

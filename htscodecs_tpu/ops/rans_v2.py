@@ -576,22 +576,34 @@ def _compact(w, e, seg_cap: int):
     if pad:
         w = jnp.pad(w, ((0, 0), (0, pad)))
         e = jnp.pad(e, ((0, 0), (0, pad)))
-    ws = w.reshape(B * KO, SEG)
+    # both levels sort a SINGLE packed i32 (rank<<16 | word) instead of
+    # a key+value pair: the sorts are the dominant encode cost and the
+    # packed form halves them.  Local rank < SEG=128 (7 bits, sentinel
+    # 255); global position < KO*seg_cap < 2^15 (sentinel 0x7FFF).
+    ws = w.reshape(B * KO, SEG).astype(jnp.int32)
     es = e.reshape(B * KO, SEG)
     loc = jnp.cumsum(es.astype(jnp.int32), axis=1)
-    keys = jnp.where(es, loc - 1, jnp.int32(SEG + 1))
-    _, sw = lax.sort([keys, ws], dimension=1, num_keys=1)
+    lkey = jnp.where(es, loc - 1, jnp.int32(255))
+    sw = lax.sort((lkey << 16) | ws, dimension=1)
     cnt = loc[:, -1]
     overflow = jnp.any(cnt > seg_cap)
     cnt2 = cnt.reshape(B, KO)
     offs = jnp.cumsum(cnt2, axis=1) - cnt2                    # (B, KO)
     n = cnt2.sum(axis=1)
-    swc = sw[:, :seg_cap].reshape(B, KO * seg_cap)
+    swc = sw[:, :seg_cap].reshape(B, KO * seg_cap) & 0xFFFF
     j = jnp.arange(seg_cap, dtype=jnp.int32)[None, None, :]
+    if KO * seg_cap < (1 << 15):
+        gkey = jnp.where(j < cnt2[:, :, None],
+                         offs[:, :, None] + j,
+                         jnp.int32(0x7FFF)).reshape(B, KO * seg_cap)
+        out = lax.sort((gkey << 16) | swc, dimension=1)
+        return (out & 0xFFFF).astype(jnp.uint16), n, overflow
+    # giant blocks: positions exceed the 15-bit pack; pair sort
     gkey = jnp.where(j < cnt2[:, :, None],
                      offs[:, :, None] + j,
                      jnp.int32(1 << 30)).reshape(B, KO * seg_cap)
-    _, out = lax.sort([gkey, swc], dimension=1, num_keys=1)
+    _, out = lax.sort([gkey, swc.astype(jnp.uint16)], dimension=1,
+                      num_keys=1)
     return out, n, overflow
 
 
