@@ -87,130 +87,117 @@ def bench_corpus(name, blocks, check_exact=True):
     total_mb = Bc * Nc / 1e6
     jb = jnp.asarray(blocks)
 
-    # ---- tables (device build + native batched serialize) ----
-    _warm = tables_v2.build_o1_device(jb)
-    if _warm is None:
-        return None
-    t_tables = None
-    for _ in range(2):          # steady-state: best of two passes
+    # ---- pipelined encode: device table build -> async per-block-
+    # shift encode scan -> host D2H of header freqs + serialization
+    # OVERLAPPING the running scan (what a production encoder does) ---
+    def table_stage():
+        pres, amax = tables_v2._presence_jit(jb)
+        if int(np.asarray(amax)) > tables_v2.MAX_DENSE_A:
+            return None
+        A = rans_v2._round_a(int(np.asarray(amax)))
+        tile = tables_v2.TILE
+        outs = [tables_v2._build_o1_jit(jb[t0:t0 + tile],
+                                        pres[t0:t0 + tile], A, Nc)
+                for t0 in range(0, Bc, tile)]
+        one = len(outs) == 1
+        cat = (lambda i: outs[0][i]) if one else \
+            (lambda i: jnp.concatenate([o[i] for o in outs]))
+        return cat(0), cat(1), cat(2), cat(3), A
+
+    def enc_pipeline(seg_cap):
         t0 = time.time()
-        dense = tables_v2.build_o1_device(jb)
-        alpha_d, packed_d, asz, fhdr, shifts, flag, _A = dense
+        st = table_stage()
+        alpha_d, packed_d, fhdr_d, meta_d, _A = st
+        st_d, w_d, n_d, ovf = rans_v2._enc_scan_v2_pb(
+            jb, alpha_d, packed_d, meta_d[:, 1], 1, seg_cap=seg_cap)
+        # host work below overlaps the dispatched device scan
+        meta = np.asarray(meta_d)
+        fhdr = np.asarray(fhdr_d)
+        alpha_h = np.asarray(alpha_d)
         hdrs = native.serialize_o1_dense_batch(
-            np.asarray(alpha_d), asz, fhdr, shifts)
+            alpha_h, meta[:, 0], fhdr, meta[:, 1])
+        np.asarray(jnp.sum(n_d))          # sync the scan
         dt = time.time() - t0
-        t_tables = dt if t_tables is None else min(t_tables, dt)
+        return dt, meta, hdrs, alpha_d, packed_d, meta_d, st_d, w_d, \
+            n_d, ovf
+
+    _w = enc_pipeline(rans_v2.SEG_CAP)    # warm (compiles)
+    seg_cap = rans_v2.SEG if bool(np.asarray(_w[9])) else rans_v2.SEG_CAP
+    t_enc = None
+    for _ in range(2):                    # steady state: best of two
+        r = enc_pipeline(seg_cap)
+        t_enc = r[0] if t_enc is None else min(t_enc, r[0])
+    dt, meta, hdrs, alpha_d, packed_d, meta_d, st_d, w_d, n_d, ovf = r
+    assert not bool(np.asarray(ovf)), f"{name}: compaction overflow"
     if hdrs is None:
         return None
-    # flagged blocks are exact-decision flips the API path rebuilds on
-    # host (rare); the throughput loops skip them.  Boundary-sitting
-    # corpora legitimately span both shift values: encode/decode run
-    # per shift group exactly like the batch wrapper does.
+    shifts, flag = meta[:, 1], meta[:, 2]
     nflag = int(flag.sum())
-    ok = flag == 0
-    groups = []
-    for sv in np.unique(shifts[ok]):
-        idx = np.flatnonzero(ok & (shifts == sv))
-        # pad the block axis to a multiple of 128 with duplicates: odd
-        # batch sizes fall off XLA's tiled layouts (~8x slower decode)
-        pad = (-len(idx)) % 128
-        if pad:
-            idx = np.concatenate([idx, np.repeat(idx[:1], pad)])
-        groups.append((int(sv), idx))
+    counts_all = np.asarray(n_d)
+
+    # sub-measurement: device table build alone (no transfer/serialize)
+    t0 = time.time()
+    st = table_stage()
+    np.asarray(jnp.sum(st[3]))
+    t_tables = time.time() - t0
+
     q = Nc >> 2
 
-    # ---- encode ----
-    # less-compressible corpora (q40) exceed the fast two-level
-    # compaction cap; steady state then uses the exact single-sort path
-    genc = []
-    for shift, idx in groups:
-        jbg, jag, jpg = jb[idx], alpha_d[idx], packed_d[idx]
-        seg_cap = rans_v2.SEG_CAP
-        st_d, w_d, n_d, ovf = rans_v2._enc_scan_v2(jbg, jag, jpg, shift, 1)
-        if bool(np.asarray(ovf)):
-            seg_cap = rans_v2.SEG
-            st_d, w_d, n_d, ovf = rans_v2._enc_scan_v2(
-                jbg, jag, jpg, shift, 1, seg_cap=seg_cap)
-        np.asarray(jnp.sum(n_d))
-        assert not bool(np.asarray(ovf)), f"{name}: compaction overflow"
-        genc.append((shift, idx, jbg, jag, jpg, seg_cap, st_d, w_d, n_d))
-    t0 = time.time()
-    for _ in range(REPS):
-        for k, (shift, idx, jbg, jag, jpg, seg_cap, *_r) in enumerate(genc):
-            st_d, w_d, n_d, ovf = rans_v2._enc_scan_v2(
-                jbg, jag, jpg, shift, 1, seg_cap=seg_cap)
-            genc[k] = (shift, idx, jbg, jag, jpg, seg_cap, st_d, w_d, n_d)
-        np.asarray(sum(jnp.sum(g[8]) for g in genc))
-    t_enc_dev = (time.time() - t0) / REPS
+    # ---- pipelined decode: async per-block-shift decode scan with the
+    # real host-side parse of every header overlapping it ----
+    cap = int(((int(counts_all.max()) + 2 * rans_v2.CHUNK - 1)
+               // rans_v2.CHUNK) * rans_v2.CHUNK)
 
-    # ---- decode (chunkify on device from the encoded words) ----
-    gdec = []
-    for shift, idx, jbg, jag, jpg, seg_cap, st_d, w_d, n_d in genc:
-        counts = np.asarray(n_d)
-        cap = int(((int(counts.max()) + 2 * rans_v2.CHUNK - 1)
-                   // rans_v2.CHUNK) * rans_v2.CHUNK)
+    @functools.partial(jax.jit, static_argnames=("cap",))
+    def dec(st, w, jp, ja, sv, cap):
+        Bb = st.shape[0]
+        padded = jnp.zeros((Bb, cap), jnp.uint32)
+        padded = padded.at[:, :w.shape[1]].set(w.astype(jnp.uint32))
+        chunks = padded.reshape(Bb * (cap // rans_v2.CHUNK), rans_v2.CHUNK)
+        return rans_v2._dec_v2_to_bytes_pb(st, chunks, jp, ja, sv,
+                                           q, q, Nc, 1)
 
-        @functools.partial(jax.jit, static_argnames=("cap", "shift"))
-        def dec(st, w, jp, ja, cap, shift):
-            Bb = st.shape[0]
-            padded = jnp.zeros((Bb, cap), jnp.uint32)
-            padded = padded.at[:, :w.shape[1]].set(w.astype(jnp.uint32))
-            chunks = padded.reshape(
-                Bb * (cap // rans_v2.CHUNK), rans_v2.CHUNK)
-            return rans_v2._dec_v2_to_bytes(st, chunks, jp, ja, shift,
-                                            q, q, Nc, 1)
+    w_trim = w_d[:, :cap]
+    shiftv = meta_d[:, 1]
 
-        w_trim = w_d[:, :cap]
-        out = dec(st_d, w_trim, jpg, jag, cap, shift)
+    def dec_pipeline():
+        t0 = time.time()
+        out = dec(st_d, w_trim, packed_d, alpha_d, shiftv, cap)
+        # host parses every block header while the device decodes
+        for h in hdrs:
+            native.parse_tables_o1_dense(h + b"\x00" * 16)
         np.asarray(jnp.sum(out[:, :4].astype(jnp.uint32)))
-        gdec.append((dec, st_d, w_trim, jpg, jag, cap, shift, jbg,
-                     counts, w_d))
-    t0 = time.time()
-    for _ in range(REPS):
-        outs = [dec(st_d, w_trim, jpg, jag, cap, shift)
-                for dec, st_d, w_trim, jpg, jag, cap, shift, *_r in gdec]
-        np.asarray(sum(jnp.sum(o[:, :4].astype(jnp.uint32)) for o in outs))
-    t_dec_dev = (time.time() - t0) / REPS
+        return time.time() - t0, out
+
+    _w, out = dec_pipeline()              # warm
+    t_dec = None
+    for _ in range(2):
+        dtd, out = dec_pipeline()
+        t_dec = dtd if t_dec is None else min(t_dec, dtd)
 
     # ---- verify ----
-    mism = 0
-    for (dec, st_d, w_trim, jpg, jag, cap, shift, jbg, counts, w_d), out \
-            in zip(gdec, outs):
-        mism += int(np.asarray(jnp.sum(out != jbg)))
+    mism = int(np.asarray(jnp.sum(out != jb)))
     byte_exact = True
     if check_exact:
-        # first unflagged block of the first group, vs the host encoder
-        shift, idx, jbg = genc[0][0], genc[0][1], genc[0][2]
-        st_d, w_d, n_d = genc[0][6], genc[0][7], genc[0][8]
-        counts = np.asarray(n_d)
-        chk = int(idx[0])
-        blk_words = np.asarray(w_d[0, :counts[0]]).astype("<u2").tobytes()
-        blk_states = np.asarray(st_d[0]).astype("<u4").tobytes()
+        chk = int(np.flatnonzero(flag == 0)[0])
+        blk_words = np.asarray(
+            w_d[chk, :counts_all[chk]]).astype("<u2").tobytes()
+        blk_states = np.asarray(st_d[chk]).astype("<u4").tobytes()
         ref = rans4x16.compress(blocks[chk], 1)
         osz, pos = varint.get_uint(ref, 1, len(ref))
         off, *_t = native.parse_tables_o1(ref[pos:])
         byte_exact = (ref[pos + off:] == blk_states + blk_words
                       and hdrs[chk] == ref[pos:pos + off])
 
-    # host-side decode table parse, measured for real and scaled to B
-    stream0 = hdrs[0] + b"\x00" * 16
-    t0 = time.time()
-    PARSE_REPS = 256
-    for _ in range(PARSE_REPS):
-        native.parse_tables_o1_dense(stream0)
-    t_parse = (time.time() - t0) / PARSE_REPS * Bc
-
-    t_enc = t_tables + t_enc_dev
-    t_dec = t_parse + t_dec_dev
     return {
         "corpus": name,
         "enc_MBps": round(total_mb / t_enc, 1),
         "dec_MBps": round(total_mb / t_dec, 1),
         "agg_MBps": round(2 * total_mb / (t_enc + t_dec), 1),
-        "tables_s": round(t_tables, 2), "enc_dev_s": round(t_enc_dev, 2),
-        "parse_s": round(t_parse, 2), "dec_dev_s": round(t_dec_dev, 2),
-        "shifts": [g[0] for g in groups], "flags": nflag,
-        "mismatches": mism,
+        "tables_dev_s": round(t_tables, 2),
+        "enc_pipe_s": round(t_enc, 2), "dec_pipe_s": round(t_dec, 2),
+        "shifts": sorted(int(v) for v in np.unique(shifts)),
+        "flags": nflag, "mismatches": mism,
         "byte_exact": bool(byte_exact),
     }
 

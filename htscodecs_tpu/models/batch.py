@@ -304,29 +304,60 @@ def _bodies_o0_devtables(batch: np.ndarray) -> list[bytes] | None:
 def _bodies_o1_devtables(batch: np.ndarray) -> list[bytes] | None:
     """Order-1 entropy bodies with on-device table construction.
 
-    Blocks flagged by the builder (shift-heuristic margin inside the
-    f32 band) rebuild on the host so streams stay byte-exact."""
+    The encode scan runs with a per-block traced shift (mixed 10/12-bit
+    batches need no host grouping) and is dispatched BEFORE the host
+    pulls the header frequencies and serialises them, so the device
+    encodes while the host works.  Blocks flagged by the builder
+    (shift-heuristic decision flips) rebuild on the host so streams
+    stay byte-exact."""
+    import jax.numpy as jnp
     from ..ops import rans_v2, tables_v2
     B, N = batch.shape
-    r = tables_v2.build_o1_device(batch)
-    if r is None:
+    jb = jnp.asarray(batch)
+    pres, amax = tables_v2._presence_jit(jb)
+    if int(np.asarray(amax)) > tables_v2.MAX_DENSE_A or N >= (1 << 24):
         return None
-    alpha_d, packed_d, asz, fhdr, shift, flag, A = r
+    A = rans_v2._round_a(int(np.asarray(amax)))
+    tile = tables_v2.TILE
+    outs = [tables_v2._build_o1_jit(jb[t0:t0 + tile],
+                                    pres[t0:t0 + tile], A, N)
+            for t0 in range(0, B, tile)]
+    one = len(outs) == 1
+    alpha_d = outs[0][0] if one else jnp.concatenate([o[0] for o in outs])
+    packed_d = outs[0][1] if one else jnp.concatenate([o[1] for o in outs])
+    meta_d = outs[0][3] if one else jnp.concatenate([o[3] for o in outs])
+    fhdr_d = outs[0][2] if one else jnp.concatenate([o[2] for o in outs])
+    # async dispatch: the scan depends only on device arrays
+    states, words, counts, ovf = rans_v2._enc_scan_v2_pb(
+        jb, alpha_d, packed_d, meta_d[:, 1], 1)
+    # host work overlaps the running scan
+    meta = np.asarray(meta_d)
+    fhdr = np.asarray(fhdr_d)
     alpha_h = np.asarray(alpha_d)
+    asz, shift, flag = meta[:, 0], meta[:, 1], meta[:, 2].copy()
+    if flag.any():
+        Hd = outs[0][4] if one else jnp.concatenate([o[4] for o in outs])
+        flat = np.flatnonzero(flag)
+        Hsel = np.asarray(Hd[flat])
+        for k, b in enumerate(flat):
+            if tables_v2._pick_shift_exact(Hsel[k], int(asz[b])) == shift[b]:
+                flag[b] = 0
     hdrs = native.serialize_o1_dense_batch(alpha_h, asz, fhdr, shift)
     if hdrs is None:
         return None
+    if bool(np.asarray(ovf)):
+        states, words, counts, _ = rans_v2._enc_scan_v2_pb(
+            jb, alpha_d, packed_d, meta_d[:, 1], 1, seg_cap=rans_v2.SEG)
+    states = np.asarray(states)
+    words = np.asarray(words)
+    counts = np.asarray(counts)
     out: list[bytes | None] = [None] * B
-    for b in np.flatnonzero(flag):
-        out[b] = rans4x16._compress_o1(batch[b])
-    ok = flag == 0
-    for sv in np.unique(shift[ok]):
-        sel = np.flatnonzero(ok & (shift == sv))
-        states, words, counts = rans_v2.enc_o1_batch(
-            batch[sel], alpha_d[sel], packed_d[sel], int(sv))
-        for k, b in enumerate(sel):
-            out[b] = hdrs[b] + states[k].astype("<u4").tobytes() + \
-                words[k, :counts[k]].astype("<u2").tobytes()
+    for b in range(B):
+        if flag[b]:
+            out[b] = rans4x16._compress_o1(batch[b])
+        else:
+            out[b] = hdrs[b] + states[b].astype("<u4").tobytes() + \
+                words[b, :counts[b]].astype("<u2").tobytes()
     return out  # type: ignore[return-value]
 
 
