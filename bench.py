@@ -12,13 +12,14 @@ enc/dec passes over the same data, MB/s) over a corpus table:
 - ``q8`` / ``q40dir``  real `tests/dat` quality data tiled to B —
                A≈8 and A≈40+ alphabets, the reference's own corpus.
 
-Accounting per corpus (details in docs/PERF_NOTES.md):
-- t_enc = table construction (on-device histogram + bit-exact
-  normalisation, ops/tables_v2.py, incl. the D2H of header
-  frequencies + one native batched header-serialize call) + the full
-  on-device encode jit (byte->dense remap, param fetch, reverse scan,
-  sort compaction).
-- t_dec = scaled host table parse + on-device decode jit.
+Accounting per corpus (details in docs/PERF_NOTES.md): pipelined wall
+time, the way a production encoder runs —
+- t_enc = one pass of: on-device table build (MXU histogram +
+  bit-exact normalisation, ops/tables_v2.py) -> async per-block-shift
+  encode scan dispatch -> host header-frequency D2H + batched native
+  header serialization OVERLAPPING the running scan -> scan sync.
+- t_dec = one pass of: async decode scan dispatch -> real host parse
+  of every block header overlapping it -> sync.
 - H2D/D2H staging of payload data is excluded: the axon test tunnel
   moves bulk data at ~30 MB/s, which would only measure the harness
   (the C tool's -t likewise excludes file IO).  Correctness is
@@ -197,9 +198,67 @@ def bench_corpus(name, blocks, check_exact=True):
         "tables_dev_s": round(t_tables, 2),
         "enc_pipe_s": round(t_enc, 2), "dec_pipe_s": round(t_dec, 2),
         "shifts": sorted(int(v) for v in np.unique(shifts)),
-        "flags": nflag, "mismatches": mism,
+        "band_flags": nflag, "mismatches": mism,
         "byte_exact": bool(byte_exact),
     }
+
+
+def bench_fqz_tok3():
+    """Secondary per-codec rows (host-side codecs; BASELINE.md lists
+    fqzcomp/tok3 MB/s explicitly)."""
+    import numpy as np
+    rows = []
+    qf = DAT / "q40+dir"
+    if qf.exists():
+        from htscodecs_tpu.models import fqz
+        raw = qf.read_bytes() * 20
+        lens, arr = [], []
+        for line in raw.split(b"\n"):
+            if line:
+                lens.append(len(line))
+                arr.append(np.frombuffer(line, np.uint8))
+        qual = np.concatenate(arr)
+        lens = np.array(lens, np.uint32)
+        comp = fqz.compress(qual, lens, strat=0)
+        t0 = time.time()
+        comp = fqz.compress(qual, lens, strat=0)
+        te = time.time() - t0
+        back = fqz.decompress(comp)
+        t0 = time.time()
+        back = fqz.decompress(comp)
+        td = time.time() - t0
+        out = back[0] if isinstance(back, tuple) else back
+        rows.append({
+            "corpus": "fqz_q40dir_2MB",
+            "enc_MBps": round(len(qual) / 1e6 / te, 1),
+            "dec_MBps": round(len(qual) / 1e6 / td, 1),
+            "roundtrip": bytes(out) == qual.tobytes(),
+            "ratio": round(len(comp) / len(qual), 3),
+        })
+    from htscodecs_tpu.models import tok3
+    rng = np.random.default_rng(0)
+    xs = rng.integers(1000, 30000, 100000)
+    ys = rng.integers(1000, 30000, 100000)
+    tl = rng.integers(1101, 2316, 100000)
+    names = "\n".join(
+        f"D00360:95:H2YWMBCXX:1:{t}:{x}:{y}"
+        for t, x, y in zip(tl, xs, ys)).encode() + b"\n"
+    comp = tok3.encode_names(names, level=9)
+    t0 = time.time()
+    comp = tok3.encode_names(names, level=9)
+    te = time.time() - t0
+    back = tok3.decode_names(comp)
+    t0 = time.time()
+    back = tok3.decode_names(comp)
+    td = time.time() - t0
+    rows.append({
+        "corpus": "tok3_names_3.8MB",
+        "enc_MBps": round(len(names) / 1e6 / te, 1),
+        "dec_MBps": round(len(names) / 1e6 / td, 1),
+        "roundtrip": back == names.replace(b"\n", b"\x00"),
+        "ratio": round(len(comp) / len(names), 3),
+    })
+    return rows
 
 
 def main():
@@ -224,6 +283,12 @@ def main():
             r = {"corpus": name, "error": "device path declined"}
         print(json.dumps(r), file=sys.stderr, flush=True)
         rows.append(r)
+    try:
+        for r in bench_fqz_tok3():
+            print(json.dumps(r), file=sys.stderr, flush=True)
+    except Exception as e:          # secondary rows must not kill bench
+        print(json.dumps({"corpus": "fqz_tok3", "error": str(e)[:200]}),
+              file=sys.stderr, flush=True)
 
     head = rows[0]
     ok = all(r.get("mismatches", 1) == 0 and r.get("byte_exact", False)
