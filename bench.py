@@ -122,8 +122,12 @@ def bench_corpus(name, blocks, check_exact=True):
         return dt, meta, hdrs, alpha_d, packed_d, meta_d, st_d, w_d, \
             n_d, ovf
 
-    _w = enc_pipeline(rans_v2.SEG_CAP)    # warm (compiles)
-    seg_cap = rans_v2.SEG if bool(np.asarray(_w[9])) else rans_v2.SEG_CAP
+    seg_cap = rans_v2.SEG_CAP
+    for cap in (rans_v2.SEG_CAP, rans_v2.SEG_CAP2, rans_v2.SEG):
+        seg_cap = cap
+        _w = enc_pipeline(cap)            # warm (compiles)
+        if not bool(np.asarray(_w[9])):
+            break
     t_enc = None
     for _ in range(2):                    # steady state: best of two
         r = enc_pipeline(seg_cap)

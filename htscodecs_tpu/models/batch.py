@@ -346,8 +346,11 @@ def _bodies_o1_devtables(batch: np.ndarray) -> list[bytes] | None:
     if hdrs is None:
         return None
     if bool(np.asarray(ovf)):
-        states, words, counts, _ = rans_v2._enc_scan_v2_pb(
-            jb, alpha_d, packed_d, meta_d[:, 1], 1, seg_cap=rans_v2.SEG)
+        for cap in (rans_v2.SEG_CAP2, rans_v2.SEG):
+            states, words, counts, ovf = rans_v2._enc_scan_v2_pb(
+                jb, alpha_d, packed_d, meta_d[:, 1], 1, seg_cap=cap)
+            if not bool(np.asarray(ovf)):
+                break
     states = np.asarray(states)
     words = np.asarray(words)
     counts = np.asarray(counts)

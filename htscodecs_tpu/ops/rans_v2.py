@@ -50,6 +50,9 @@ DEC_R = 31           # inner steps per refill: 127 + 4*DEC_U*DEC_R <= 255
 MAX_DENSE_A = 96     # above this, fall back to the v1 gather engines
 SEG = 128            # two-level compaction: slots per local sort
 SEG_CAP = 32         # per-segment word cap kept for the global pass
+SEG_CAP2 = 64        # middle retry tier (q40-class ratios emit ~35
+                     # words/segment: 32 overflows, the exact path is
+                     # ~3x the two-level cost)
 
 # i32 packing of (base, freq): both <= 4096 (12-bit tables)
 PACK_SHIFT = 13
@@ -542,12 +545,13 @@ def _enc_scan_v2_pb(blocks, alpha, packed, shiftv, order: int,
 
 
 def _enc_with_fallback(blocks, alpha, packed, shift: int, order: int):
-    """Run the fast two-level compaction; re-run with the exact
-    single-sort path in the (rare) locally-expanding case."""
-    xf, words, n, ovf = _enc_scan_v2(blocks, alpha, packed, shift, order)
-    if bool(np.asarray(ovf)):
-        xf, words, n, _ = _enc_scan_v2(blocks, alpha, packed, shift, order,
-                                       seg_cap=SEG)
+    """Run the fast two-level compaction; escalate through the cap-64
+    tier and then the exact single-sort path on (rare) overflow."""
+    for cap in (SEG_CAP, SEG_CAP2, SEG):
+        xf, words, n, ovf = _enc_scan_v2(blocks, alpha, packed, shift,
+                                         order, seg_cap=cap)
+        if not bool(np.asarray(ovf)):
+            break
     return xf, words, n
 
 
