@@ -92,23 +92,14 @@ def bench_corpus(name, blocks, check_exact=True):
     # shift encode scan -> host D2H of header freqs + serialization
     # OVERLAPPING the running scan (what a production encoder does) ---
     def table_stage():
-        pres, amax = tables_v2._presence_jit(jb)
-        if int(np.asarray(amax)) > tables_v2.MAX_DENSE_A:
-            return None
-        A = rans_v2._round_a(int(np.asarray(amax)))
-        tile = tables_v2.TILE
-        outs = [tables_v2._build_o1_jit(jb[t0:t0 + tile],
-                                        pres[t0:t0 + tile], A, Nc)
-                for t0 in range(0, Bc, tile)]
-        one = len(outs) == 1
-        cat = (lambda i: outs[0][i]) if one else \
-            (lambda i: jnp.concatenate([o[i] for o in outs]))
-        return cat(0), cat(1), cat(2), cat(3), A
+        return tables_v2.build_o1_device_async(jb)
 
     def enc_pipeline(seg_cap):
         t0 = time.time()
         st = table_stage()
-        alpha_d, packed_d, fhdr_d, meta_d, _A = st
+        if st is None:
+            return None
+        alpha_d, packed_d, fhdr_d, meta_d, _H, _A = st
         st_d, w_d, n_d, ovf = rans_v2._enc_scan_v2_pb(
             jb, alpha_d, packed_d, meta_d[:, 1], 1, seg_cap=seg_cap)
         # host work below overlaps the dispatched device scan
@@ -126,6 +117,8 @@ def bench_corpus(name, blocks, check_exact=True):
     for cap in (rans_v2.SEG_CAP, rans_v2.SEG_CAP2, rans_v2.SEG):
         seg_cap = cap
         _w = enc_pipeline(cap)            # warm (compiles)
+        if _w is None:
+            return None                   # wide alphabet: declined
         if not bool(np.asarray(_w[9])):
             break
     t_enc = None

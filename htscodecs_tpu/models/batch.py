@@ -200,7 +200,9 @@ def _peel_encode(data: np.ndarray, order: int, jobs: list):
         head[0] &= ~1
         order &= ~1
 
-    jid = _defer_entropy(jobs, data, order)
+    # the body is order-1 ONLY for order == 1: low-nibble values 2..15
+    # code order-0 (reference rANS_static4x16pr.c:1327)
+    jid = _defer_entropy(jobs, data, 1 if order == 1 else 0)
 
     def fin(res, head=bytes(head), data=data, in_size=in_size,
             jid=jid, rle_meta_jid=rle_meta_jid, rmeta=rmeta,
@@ -314,19 +316,10 @@ def _bodies_o1_devtables(batch: np.ndarray) -> list[bytes] | None:
     from ..ops import rans_v2, tables_v2
     B, N = batch.shape
     jb = jnp.asarray(batch)
-    pres, amax = tables_v2._presence_jit(jb)
-    if int(np.asarray(amax)) > tables_v2.MAX_DENSE_A or N >= (1 << 24):
+    r = tables_v2.build_o1_device_async(jb)
+    if r is None:
         return None
-    A = rans_v2._round_a(int(np.asarray(amax)))
-    tile = tables_v2.TILE
-    outs = [tables_v2._build_o1_jit(jb[t0:t0 + tile],
-                                    pres[t0:t0 + tile], A, N)
-            for t0 in range(0, B, tile)]
-    one = len(outs) == 1
-    alpha_d = outs[0][0] if one else jnp.concatenate([o[0] for o in outs])
-    packed_d = outs[0][1] if one else jnp.concatenate([o[1] for o in outs])
-    meta_d = outs[0][3] if one else jnp.concatenate([o[3] for o in outs])
-    fhdr_d = outs[0][2] if one else jnp.concatenate([o[2] for o in outs])
+    alpha_d, packed_d, fhdr_d, meta_d, H_d, A = r
     # async dispatch: the scan depends only on device arrays
     states, words, counts, ovf = rans_v2._enc_scan_v2_pb(
         jb, alpha_d, packed_d, meta_d[:, 1], 1)
@@ -334,14 +327,8 @@ def _bodies_o1_devtables(batch: np.ndarray) -> list[bytes] | None:
     meta = np.asarray(meta_d)
     fhdr = np.asarray(fhdr_d)
     alpha_h = np.asarray(alpha_d)
-    asz, shift, flag = meta[:, 0], meta[:, 1], meta[:, 2].copy()
-    if flag.any():
-        Hd = outs[0][4] if one else jnp.concatenate([o[4] for o in outs])
-        flat = np.flatnonzero(flag)
-        Hsel = np.asarray(Hd[flat])
-        for k, b in enumerate(flat):
-            if tables_v2._pick_shift_exact(Hsel[k], int(asz[b])) == shift[b]:
-                flag[b] = 0
+    asz, shift = meta[:, 0], meta[:, 1]
+    flag = tables_v2.resolve_band_flags(meta, H_d)
     hdrs = native.serialize_o1_dense_batch(alpha_h, asz, fhdr, shift)
     if hdrs is None:
         return None

@@ -299,7 +299,8 @@ def qual_stats(lens, flags, data: np.ndarray, pm: Param, qhist, one_param: int):
             # histograms + sums + dedup in one native pass when
             # available; the numpy fallback builds per-position arrays
             nat1 = (_native.fqz_stats1(data, st_e, ls_e,
-                                       (d2f != 0).astype(np.uint8))
+                                       (d2f != 0).astype(np.uint8),
+                                       nrec=num_records)
                     if _USE_NATIVE else None)
             if nat1 is not None:
                 nat_hb, nat_h2, sums_e, dd = nat1

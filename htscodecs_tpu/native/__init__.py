@@ -118,7 +118,7 @@ def _get_lib_locked():
     _sig(lib.r16_compress_wrapped, i64,
          [u8p, i64, ctypes.c_int32, u8p, i64])
     _sig(lib.fqz_stats1, i64,
-         [u8p, i64, i64p, i64p, i64, u8p, i64p, i64p, i64p, i64p])
+         [u8p, i64, i64p, i64p, i64, i64, u8p, i64p, i64p, i64p, i64p])
     _sig(lib.fqz_stats2, i64,
          [u8p, i64, i64p, i64p, i64, u8p, i64p])
     _sig(lib.fqz_enc, i64,
@@ -385,15 +385,18 @@ def compress_wrapped(data: np.ndarray, order: int):
 
 
 def fqz_stats1(data: np.ndarray, st: np.ndarray, ls: np.ndarray,
-               d2f: np.ndarray):
+               d2f: np.ndarray, nrec: int | None = None):
     """One-pass fqz picker statistics: (pos,sym) histograms (all /
-    read-2), per-segment byte sums, adjacent-duplicate count.
+    read-2), per-segment byte sums, adjacent-duplicate count (real
+    records only — a trailing tail pseudo-segment never dedups).
     Returns (hb (128,256) i64, h2, sums (nseg,) i64, dedup) or None."""
     lib = get_lib()
     if lib is None:
         return None
     a, ap = _u8(data)
     nseg = len(st)
+    if nrec is None:
+        nrec = nseg
     st64 = np.ascontiguousarray(st, np.int64)
     ls64 = np.ascontiguousarray(ls, np.int64)
     df = np.ascontiguousarray(d2f, np.uint8)
@@ -404,7 +407,7 @@ def fqz_stats1(data: np.ndarray, st: np.ndarray, ls: np.ndarray,
     i64p = ctypes.POINTER(ctypes.c_int64)
     r = lib.fqz_stats1(
         ap, len(a), st64.ctypes.data_as(i64p), ls64.ctypes.data_as(i64p),
-        nseg, df.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        nseg, nrec, df.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         hb.ctypes.data_as(i64p), h2.ctypes.data_as(i64p),
         sums.ctypes.data_as(i64p), dd.ctypes.data_as(i64p))
     if r < 0:

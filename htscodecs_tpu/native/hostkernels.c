@@ -1295,7 +1295,11 @@ static void am64_renorm(am64 *m) {
 static inline void am64_encode(am64 *m, rcoder *rc, int symbol) {
     uint32_t acc = 0;
     int p = 0;
-    while (m->sym[p] != symbol) acc += m->cnt[p++];
+    while (p < 64 && m->sym[p] != symbol) acc += m->cnt[p++];
+    if (p >= 64) {        /* inconsistent qmap/max_sym: fail the coder */
+        rc->err = 1;
+        return;
+    }
     rc_encode(rc, acc, m->cnt[p], m->tot);
     m->cnt[p] += 16;
     m->tot += 16;
@@ -2520,6 +2524,9 @@ API int64_t r16_serialize_o0_batch(
 
 API int64_t fqz_stats1(const uint8_t *data, int64_t n,
                        const int64_t *st, const int64_t *ls, int64_t nseg,
+                       int64_t nrec,     /* real records; the trailing
+                                            tail pseudo-segment never
+                                            counts as a duplicate     */
                        const uint8_t *d2f,
                        int64_t *hb,      /* (128,256) all            */
                        int64_t *h2,      /* (128,256) read-2 only    */
@@ -2532,7 +2539,7 @@ API int64_t fqz_stats1(const uint8_t *data, int64_t n,
         const uint8_t *p = data + st[s];
         int64_t L = ls[s];
         if (st[s] < 0 || L < 0 || st[s] + L > n) return -1;
-        if (s > 0 && L == ls[s - 1] && st[s] >= L &&
+        if (s > 0 && s < nrec && L == ls[s - 1] && st[s] >= L &&
             memcmp(p - L, p, (size_t)L) == 0)
             dd++;
         int64_t acc = 0;
@@ -2762,7 +2769,10 @@ API int64_t r16_compress_wrapped(const uint8_t *in, int64_t n,
     if (dn == 0) { ret = -3; goto done; }  /* empty body: Python path */
 
     {
-        int64_t bl = order
+        /* body is order-1 ONLY for order==1: the low nibble can hold
+         * 2..15 and the reference codes those O0
+         * (rANS_static4x16pr.c:1327) */
+        int64_t bl = order == 1
             ? r16_enc_o1(data, dn, out + o, cap - o)
             : r16_enc_o0(data, dn, out + o, cap - o);
         if (bl < 0) { ret = -1; goto done; }

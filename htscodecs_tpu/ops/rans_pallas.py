@@ -23,8 +23,10 @@ Measured regime (v5e, forced-sync timings): the kernels beat the
 lax.scan engines ~2x at equal batch size (32 vs 62 ms per 256-block
 64 KiB tile), but tiles are VMEM-capped (T<=256..512), so at very
 large batches (B >= 8k) the v2 engines' per-step amortisation wins.
-Use these kernels for small/medium batches (tok3 descriptor groups,
-stripe lanes); the batch wrappers pick engines accordingly.
+The kernels are kept as an alternative engine for the small/medium-
+batch regime; the batch wrappers currently route everything through
+the v2 engines (which win at production batch sizes), so these are
+exercised by tests/test_rans_pallas.py only.
 
 State-transition maths is bit-identical to ``rANS_word.h``
 (reference: htscodecs/rANS_word.h:281-321, 356-410; L = 1<<15, 16-bit

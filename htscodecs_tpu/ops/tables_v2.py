@@ -418,15 +418,20 @@ def _pow2_ceil_int(v: int) -> int:
 # ---------------------------------------------------------------------------
 # public batched builders
 
-def build_o1_device(blocks, tile: int = TILE):
-    """Device order-1 table build over a (B, N) u8 batch.
+def build_o1_device_async(blocks, tile: int = TILE):
+    """Device-side order-1 table build with NO host transfers.
 
-    Returns (alpha (B,A) u8 dev, packed (B,A,A) i32 dev, asz (B,) np,
-    fhdr (B,A,A) u16 np, shift (B,) np, flag (B,) np, A) or None when
-    the batch needs the host path (wide alphabet / giant blocks)."""
+    Returns (alpha_d (B,A) u8, packed_d (B,A,A) i32, fhdr_d (B,A,A)
+    u16, meta_d (B,3) i32 [asz, shift, band-flag], H_d (B,A,A) i32,
+    A), all on device, or None when the batch needs the host path:
+    wide alphabet, tiny blocks, or N >= 2^23 (row totals and (r1<<8)
+    must fit i32 in the two-limb normaliser — see _tr_parts /
+    _mul_shift31).  Callers dispatch dependent device work (e.g. the
+    encode scan) BEFORE pulling fhdr/meta to the host so the transfer
+    overlaps compute."""
     B, N = blocks.shape
-    if N >= (1 << 24) or N < 4:
-        return None          # f32 hist exactness / tiny-block quirks
+    if N >= (1 << 23) or N < 4:
+        return None
     jb = blocks if isinstance(blocks, jax.Array) else jnp.asarray(blocks)
     pres, amax = _presence_jit(jb)
     if int(np.asarray(amax)) > MAX_DENSE_A:
@@ -434,37 +439,50 @@ def build_o1_device(blocks, tile: int = TILE):
     A = _round_a(int(np.asarray(amax)))
     outs = [_build_o1_jit(jb[t0:t0 + tile], pres[t0:t0 + tile], A, N)
             for t0 in range(0, B, tile)]
-    alpha_d = (outs[0][0] if len(outs) == 1
-               else jnp.concatenate([o[0] for o in outs]))
-    packed = (outs[0][1] if len(outs) == 1
-              else jnp.concatenate([o[1] for o in outs]))
-    # single bulk transfer per output (small-transfer latency through
-    # the device link is ~30 ms each)
-    fhdr = np.asarray(outs[0][2] if len(outs) == 1
-                      else jnp.concatenate([o[2] for o in outs]))
-    meta = np.asarray(outs[0][3] if len(outs) == 1
-                      else jnp.concatenate([o[3] for o in outs]))
-    # np.asarray of a device array is read-only; flag is mutated below
+    if len(outs) == 1:
+        cat = list(outs[0])
+    else:
+        cat = [jnp.concatenate([o[i] for o in outs]) for i in range(5)]
+    return cat[0], cat[1], cat[2], cat[3], cat[4], A
+
+
+def resolve_band_flags(meta: np.ndarray, H_d) -> np.ndarray:
+    """Resolve shift-band flags by replaying the f64 heuristic exactly
+    on the device histograms; returns the final flag vector where 1
+    means the decision actually flips (host rebuild needed)."""
     asz, shift, flag = meta[:, 0], meta[:, 1], meta[:, 2].copy()
     if flag.any():
-        # resolve banded blocks by replaying the f64 heuristic exactly
-        # on the device histogram; only actual decision flips (rare)
-        # keep the rebuild flag
         flat = np.flatnonzero(flag)
-        Hd = (outs[0][4] if len(outs) == 1
-              else jnp.concatenate([o[4] for o in outs]))
-        Hsel = np.asarray(Hd[flat])
+        Hsel = np.asarray(H_d[flat])
         for k, b in enumerate(flat):
             if _pick_shift_exact(Hsel[k], int(asz[b])) == shift[b]:
                 flag[b] = 0
-    return (alpha_d, packed, asz, fhdr, shift, flag, A)
+    return flag
+
+
+def build_o1_device(blocks, tile: int = TILE):
+    """Device order-1 table build over a (B, N) u8 batch.
+
+    Returns (alpha (B,A) u8 dev, packed (B,A,A) i32 dev, asz (B,) np,
+    fhdr (B,A,A) u16 np, shift (B,) np, flag (B,) np, A) or None when
+    the batch needs the host path (wide alphabet / giant blocks)."""
+    r = build_o1_device_async(blocks, tile)
+    if r is None:
+        return None
+    alpha_d, packed_d, fhdr_d, meta_d, H_d, A = r
+    # single bulk transfer per output (small-transfer latency through
+    # the device link is ~30 ms each)
+    fhdr = np.asarray(fhdr_d)
+    meta = np.asarray(meta_d)
+    flag = resolve_band_flags(meta, H_d)
+    return (alpha_d, packed_d, meta[:, 0], fhdr, meta[:, 1], flag, A)
 
 
 def build_o0_device(blocks, tile: int = TILE):
     """Device order-0 table build.  Returns (alpha dev, packed dev,
     asz np, fhdr (B,256) u16 np, A) or None."""
     B, N = blocks.shape
-    if N >= (1 << 24) or N < 1:
+    if N >= (1 << 23) or N < 1:
         return None
     jb = blocks if isinstance(blocks, jax.Array) else jnp.asarray(blocks)
     pres, amax = _presence_jit(jb)

@@ -106,6 +106,8 @@ def _encode_fn(mesh: Mesh, A: int, N: int, seg_cap: int):
     ax = mesh.axis_names[0]
 
     def local(jb, pres):
+        # per-shard body must be a pure device function, so this calls
+        # the tile jit directly rather than build_o1_device_async
         alpha, packed, fhdr, meta, H = tables_v2._build_o1_jit(
             jb, pres, A, N)
         states, words, counts, ovf = rans_v2._enc_scan_v2_pb(
@@ -146,7 +148,7 @@ def compress_blocks_o1(blocks: np.ndarray, mesh: Mesh | None = None
 
     pres, amax_g = _presence_fn(mesh)(garr)
     amax = _allgather_max(int(np.asarray(amax_g)))
-    if amax > tables_v2.MAX_DENSE_A or N >= (1 << 24):
+    if amax > tables_v2.MAX_DENSE_A or N >= (1 << 23):
         return [rans4x16.compress(b, 1) for b in blocks]
     A = rans_v2._round_a(amax)
 

@@ -11,7 +11,8 @@ from htscodecs_tpu.models import batch as batchmod
 from htscodecs_tpu.models import rans4x16
 
 ORDERS = [0, 1, 64, 65, 128, 129, 192, 193, 8, 9,
-          9 + (2 << 8), 8 + (8 << 8), 65 + (4 << 8) + 8]
+          9 + (2 << 8), 8 + (8 << 8), 65 + (4 << 8) + 8,
+          2, 66, 130]  # odd low-nibble values code order-0 bodies
 
 DAT = pathlib.Path("/root/reference/tests/dat")
 

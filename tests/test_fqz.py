@@ -145,3 +145,29 @@ def test_qual_stats_fast_path_edges():
     import pytest as _pt
     with _pt.raises(ValueError):
         fqz.decompress(blob)
+
+
+def test_tail_segment_never_dedups():
+    """The trailing tail pseudo-segment (bytes beyond the declared
+    records) must not count toward the dedup heuristic: native stats
+    and the numpy/scalar paths have to pick identical parameters."""
+    import numpy as np
+    from htscodecs_tpu.models import fqz
+
+    rng = np.random.default_rng(8)
+    L, R = 100, 40
+    recs = (rng.integers(0, 8, (R, L)) + 33).astype(np.uint8)
+    recs[-1] = recs[-2]                       # one real adjacent dup
+    tail = recs[-1]                           # tail equals last record
+    data = np.concatenate([recs.reshape(-1), tail])
+    lens = np.full(R, L, np.uint32)           # tail left undeclared
+
+    old = fqz._USE_NATIVE
+    try:
+        fqz._USE_NATIVE = True
+        a = fqz.compress(data.copy(), lens.copy(), strat=0)
+        fqz._USE_NATIVE = False
+        b = fqz.compress(data.copy(), lens.copy(), strat=0)
+    finally:
+        fqz._USE_NATIVE = old
+    assert a == b

@@ -58,3 +58,38 @@ def test_dec_o0_matches_v2_roundtrip():
     out = rans_pallas.dec_o0_batch(
         st4, w[:, :int(n.max())], 256, alpha, packed, 12)
     assert np.array_equal(out, blocks)
+
+
+def test_pallas_encode_matches_v2():
+    """Encode kernels: byte-exact against the v2 scan engines."""
+    import numpy as np
+    import pytest
+    from htscodecs_tpu import native
+    from htscodecs_tpu.ops import rans_pallas, rans_v2, tables_v2
+    if not native.available():
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(4)
+    N, B = 2048, 24
+    blocks = (rng.integers(0, 8, (B, N)) + 33).astype(np.uint8)
+    r = tables_v2.build_o1_device(blocks)
+    assert r is not None
+    alpha_d, packed_d, asz, fhdr, shift, flag, A = r
+    assert not flag.any()
+    sv = int(shift[0])
+    assert (shift == sv).all()
+    alpha = np.asarray(alpha_d)
+    packed = np.asarray(packed_d)
+    for order in (1, 0):
+        if order == 0:
+            r0 = tables_v2.build_o0_device(blocks)
+            alpha0, packed0, _asz, _fh, _A = r0
+            a_np, p_np = np.asarray(alpha0), np.asarray(packed0)
+            s2, w2, n2 = rans_v2.enc_o0_batch(blocks, a_np, p_np)
+            sp, wp, np_ = rans_pallas.enc_o0_batch(blocks, a_np, p_np, 12)
+        else:
+            s2, w2, n2 = rans_v2.enc_o1_batch(blocks, alpha, packed, sv)
+            sp, wp, np_ = rans_pallas.enc_o1_batch(blocks, alpha, packed, sv)
+        assert np.array_equal(n2, np_), order
+        assert np.array_equal(s2, sp), order
+        for b in range(B):
+            assert np.array_equal(w2[b, :n2[b]], wp[b, :np_[b]]), (order, b)
