@@ -31,6 +31,12 @@ from ..utils import varint
 # Below this many blocks in a shape group, the host path wins (device
 # dispatch latency + staging dominate tiny batches).
 DEVICE_MIN_GROUP = 16
+# "auto" also requires this many payload bytes in a group before the
+# device path engages: each dispatch costs ~10 us on an attached TPU
+# (and ~1-30 ms through the test tunnel, where the break-even is
+# ~100 MB — export HTSCODECS_TPU_DEVICE_MIN_BYTES to retune).
+DEVICE_MIN_BYTES = int(__import__("os").environ.get(
+    "HTSCODECS_TPU_DEVICE_MIN_BYTES", 4 << 20))
 
 # Host table construction is native C via ctypes (GIL released), so a
 # thread pool scales it across cores.
@@ -76,7 +82,8 @@ def compress_blocks(blocks, order: int, engine: str = "auto") -> list[bytes]:
             out[i] = rans4x16.compress(a, order)
 
     for n, idxs in groups.items():
-        if engine != "device" and len(idxs) < DEVICE_MIN_GROUP:
+        if engine != "device" and (len(idxs) < DEVICE_MIN_GROUP
+                                   or len(idxs) * n < DEVICE_MIN_BYTES):
             for i in idxs:
                 out[i] = rans4x16.compress(arrs[i], order)
             continue
@@ -241,7 +248,9 @@ def _encode_entropy_jobs(jobs: list, engine: str) -> dict:
     for jid, (data, o) in enumerate(jobs):
         groups[(len(data), o)].append(jid)
     for (n, o), jids in groups.items():
-        if (engine != "device" and len(jids) < DEVICE_MIN_GROUP) or n < 32:
+        if (engine != "device" and (len(jids) < DEVICE_MIN_GROUP
+                                    or len(jids) * n < DEVICE_MIN_BYTES)) \
+                or n < 32:
             for jid in jids:
                 d = jobs[jid][0]
                 results[jid] = (rans4x16._compress_o1(d) if o
@@ -437,7 +446,8 @@ def r4x8_compress_blocks(blocks, order: int, engine: str = "auto") -> list[bytes
         else:
             out[i] = rans4x8.compress(a, order)
     for n, idxs in groups.items():
-        if engine != "device" and len(idxs) < DEVICE_MIN_GROUP:
+        if engine != "device" and (len(idxs) < DEVICE_MIN_GROUP
+                                   or len(idxs) * n < DEVICE_MIN_BYTES):
             for i in idxs:
                 out[i] = rans4x8.compress(arrs[i], order)
             continue
@@ -498,7 +508,9 @@ def r4x8_uncompress_blocks(streams, engine: str = "auto") -> list[bytes]:
         osz = int.from_bytes(s[5:9], "little")
         groups[(s[0], osz)].append((i, s))
     for (order, osz), items in groups.items():
-        if (engine != "device" and len(items) < DEVICE_MIN_GROUP) or osz < 4:
+        if (engine != "device" and (len(items) < DEVICE_MIN_GROUP
+                                    or len(items) * osz < DEVICE_MIN_BYTES)) \
+                or osz < 4:
             for i, s in items:
                 out[i] = rans4x8.uncompress(s)
             continue
@@ -900,7 +912,8 @@ def _decode_entropy_jobs(jobs, engine: str) -> dict:
     from ..ops import rans_v2
     for key, items in groups.items():
         order, osz = key[0], key[1]
-        if engine != "device" and len(items) < DEVICE_MIN_GROUP:
+        if engine != "device" and (len(items) < DEVICE_MIN_GROUP
+                                   or len(items) * osz < DEVICE_MIN_BYTES):
             for it in items:
                 jid, s = it[0], it[1]
                 r = (rans4x16._uncompress_o1(memoryview(s), 0, len(s), osz)

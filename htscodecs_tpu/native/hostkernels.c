@@ -1794,8 +1794,20 @@ static int32_t trie_node(trie *t, int32_t n) {
 static int32_t trie_child(trie *t, int32_t node, uint8_t c, int32_t nameid,
                           int create) {
     int32_t k = t->nodes[node].first;
+    int32_t prev = -1;
     while (k >= 0) {
-        if (t->kids[k].c == c) return t->kids[k].node;
+        if (t->kids[k].c == c) {
+            if (prev >= 0) {
+                /* move-to-front: sibling order is internal only (the
+                 * match is unique per (node, c)), and name columns
+                 * revisit the same child run after run */
+                t->kids[prev].next = t->kids[k].next;
+                t->kids[k].next = t->nodes[node].first;
+                t->nodes[node].first = k;
+            }
+            return t->kids[k].node;
+        }
+        prev = k;
         k = t->kids[k].next;
     }
     if (!create) return -1;

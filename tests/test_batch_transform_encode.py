@@ -42,7 +42,7 @@ def _blocks():
 def test_transform_encode_matches_host(order, monkeypatch):
     monkeypatch.setattr(batchmod, "DEVICE_MIN_GROUP", 4)
     blocks = _blocks()
-    got = batchmod.compress_blocks(blocks, order)
+    got = batchmod.compress_blocks(blocks, order, engine="device")
     for i, b in enumerate(blocks):
         exp = rans4x16.compress(b, order)
         assert got[i] == exp, (order, i, len(got[i]), len(exp))

@@ -86,7 +86,8 @@ def test_wrapper_devtables_streams_byte_exact(order, monkeypatch):
     rng = np.random.default_rng(5)
     N, B = 640, 24
     blocks = (rng.integers(0, 10, (B, N)) + 33).astype(np.uint8)
-    got = batchmod.compress_blocks(list(blocks), order)
+    got = batchmod.compress_blocks(list(blocks), order,
+                                   engine="device")
     for b in range(B):
         assert got[b] == rans4x16.compress(blocks[b], order), b
     back = batchmod.uncompress_blocks(got)
