@@ -262,7 +262,7 @@ def main():
     t_setup = time.time()
     import jax
     jax.config.update("jax_compilation_cache_dir",
-                      "/root/.cache/jax_comp_cache")
+                      "/root/.cache/jax_comp_cache_tpu")
 
     uniq = synth_quality(G, N)
     corpora = [

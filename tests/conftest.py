@@ -18,7 +18,8 @@ sys.path.insert(0, str(REPO))
 # cost of the many jit shape variants these tests touch
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/.cache/jax_comp_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # The axon site plugin force-selects jax_platforms="axon,cpu" from
 # sitecustomize, overriding the env var; pin the virtual CPU mesh back
