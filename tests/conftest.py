@@ -14,6 +14,19 @@ os.environ.setdefault(
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+# The full suite JIT-compiles thousands of kernel variants; the
+# process accumulates ~50k+ memory maps (XLA CPU code pages) and the
+# default vm.max_map_count=65530 is exhausted late in the run, at
+# which point LLVM segfaults on a failed mmap.  Raise it (best-effort,
+# needs root) before the first jax import.
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < 1048576:
+            _f.seek(0)
+            _f.write("1048576")
+except OSError:
+    pass
+
 import jax  # noqa: E402
 
 # NOTE: do NOT enable the persistent compilation cache here — the
