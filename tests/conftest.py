@@ -29,11 +29,12 @@ except OSError:
 
 import jax  # noqa: E402
 
-# NOTE: do NOT enable the persistent compilation cache here — the
-# cache read path segfaults intermittently on this CPU backend
-# (jax compilation_cache.get_executable_and_time, observed twice with
-# a fresh cache dir).  bench.py keeps its own TPU-side cache, which
-# has been stable.
+# Persistent compilation cache: reruns skip the dominant compile cost.
+# (Earlier segfaults attributed to this cache were really the
+# max_map_count exhaustion handled above.)
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/.cache/jax_comp_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # The axon site plugin force-selects jax_platforms="axon,cpu" from
 # sitecustomize, overriding the env var; pin the virtual CPU mesh back
 # (the real-TPU path is exercised by bench.py, not pytest).  Export
