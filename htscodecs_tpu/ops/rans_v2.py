@@ -242,54 +242,71 @@ def _win_pick(win, off):
 # Decode
 
 def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int):
-    """Core v2 decode scan.  ``shift`` is a static int or a traced
-    per-block (B,) i32 vector (mixed-shift batches, sharded paths).
+    """Core v2 decode scan, TRANSPOSED layout: the 4 rANS lanes and
+    the alphabet live in MAJOR dims and the block axis B is the minor
+    (VPU-lane) dim.  The previous (B, 4[, A]) layout padded its tiny
+    minor dims to 128 lanes and wasted up to 32x of the vector unit —
+    the transposed form measures ~2x faster end to end.
+
+    ``shift`` is a static int or a traced per-block (B,) i32 vector
+    (mixed-shift batches, sharded paths).
 
     X0: (B,4) u32 initial states; chunks: (B*NC, CHUNK) u32 word
     stream (u16 values) chunked along the major axis; packed:
     (B, A, A) i32 for order-1 or (B, A) i32 for order-0.
-    Returns dense symbols (KO*DEC_R*DEC_U, B, 4) (first K steps valid)
-    and final states.  The inner scan codes DEC_U symbols per step to
-    amortise the fixed per-step loop overhead; the window is selected
-    in two stages (chunk half, then 128-wide compare).
-    """
+    Returns dense symbols (KO*DEC_R*DEC_U, 4, B) (first K steps valid)
+    and final states (4, B)."""
     B = X0.shape[0]
     NC = chunks.shape[0] // B
     if isinstance(shift, int):
         mask = jnp.uint32((1 << shift) - 1)
         shr = shift
     else:
-        shr = shift.astype(jnp.uint32)[:, None]            # (B,1)
+        shr = shift.astype(jnp.uint32)[None, :]            # (1,B)
         mask = (jnp.uint32(1) << shr) - 1
     PER = DEC_R * DEC_U
     KO = -(-K // PER)
-    lane3 = jnp.arange(4, dtype=jnp.int32)[None, :] == 3
-    iotaH = jnp.arange(CHUNK, dtype=jnp.int32)[None, None, :]
+    A = packed.shape[1]
+    if order == 1:
+        packedT = jnp.transpose(packed, (1, 2, 0))          # (A,A,B)
+    else:
+        packedT = jnp.transpose(packed, (1, 0))[:, None, :] # (A,1,B)
+    lane3 = (jnp.arange(4, dtype=jnp.int32) == 3)[:, None]  # (4,1)
+    iota_a = jnp.arange(A, dtype=jnp.int32)[:, None, None]  # (A,1,1)
+    iota_w = jnp.arange(2 * CHUNK, dtype=jnp.int32)[:, None, None]
 
-    def one(X, p, ctx, s, win, base):
+    def one(X, p, ctx, s, winT, base):
+        # X/ctx (4,B); p (B,)
         if order == 1:
-            act = (s < q) | ((s < K) & lane3)
-            row = _row_fetch(packed, ctx)                     # (B,4,A)
+            act = (s < q) | ((s < K) & lane3)               # (4,B)-b
+            ohc = ctx[None, :, :] == iota_a                 # (A,4,B)
+            row = jnp.sum(jnp.where(ohc[:, None, :, :],
+                                    packedT[:, :, None, :], 0),
+                          axis=0)                           # (A,4,B)
         else:
-            act = jnp.broadcast_to(s < K, (B, 4))
-            row = jnp.broadcast_to(packed[:, None, :],
-                                   (B, 4, packed.shape[1]))
+            act = jnp.broadcast_to(s < K, (4, B))
+            row = packedT                                   # (A,1,B)
         m = (X & mask).astype(jnp.int32)
-        base_r = row >> PACK_SHIFT
-        f_r = row & PACK_MASK
-        ok = (base_r <= m[:, :, None]) & (f_r > 0)
-        iota = jnp.arange(row.shape[2], dtype=jnp.int32)
-        symd = jnp.max(jnp.where(ok, iota, 0), axis=2)        # (B,4)
-        b = _col_pick(base_r, symd).astype(jnp.uint32)
-        f = _col_pick(f_r, symd).astype(jnp.uint32)
+        rb = row >> PACK_SHIFT
+        rf = row & PACK_MASK
+        ok = (rb <= m[None]) & (rf > 0)                     # (A,4,B)
+        symd = jnp.max(jnp.where(ok, iota_a, 0), axis=0)    # (4,B)
+        ohs = symd[None, :, :] == iota_a                    # (A,4,B)
+        b = jnp.sum(jnp.where(ohs & (rf > 0), rb, 0),
+                    axis=0).astype(jnp.uint32)
+        f = jnp.sum(jnp.where(ohs & (rf > 0), rf, 0),
+                    axis=0).astype(jnp.uint32)
         Xn = f * (X >> shr) + m.astype(jnp.uint32) - b
         need = (Xn < jnp.uint32(RANS_L)) & act
         ni = need.astype(jnp.int32)
-        off = (p[:, None] - base) + (jnp.cumsum(ni, axis=1) - ni)
-        w = _win_pick(win, jnp.where(need, off, 2 * CHUNK))
+        off = (p[None, :] - base[None, :]) + (jnp.cumsum(ni, axis=0) - ni)
+        sel = jnp.where(need, off, 2 * CHUNK)               # (4,B)
+        ohw = sel[None, :, :] == iota_w                     # (2C,4,B)
+        w = jnp.sum(jnp.where(ohw, winT[:, None, :], jnp.uint32(0)),
+                    axis=0, dtype=jnp.uint32)
         Xn = jnp.where(need, (Xn << 16) | (w & jnp.uint32(0xFFFF)), Xn)
         X = jnp.where(act, Xn, X)
-        p = p + jnp.sum(ni, axis=1)
+        p = p + jnp.sum(ni, axis=0)
         ctx = jnp.where(act, symd, ctx)
         return X, p, ctx, symd.astype(jnp.uint8)
 
@@ -300,47 +317,56 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int):
         c0 = jnp.minimum(p >> 7, NC - 1)
         c1 = jnp.minimum(c0 + 1, NC - 1)
         rows = jnp.stack([brange + c0, brange + c1], axis=1).reshape(-1)
-        win = jnp.take(chunks, rows, axis=0).reshape(B, 2 * CHUNK)
-        base = (c0 << 7)[:, None]
+        winT = jnp.take(chunks, rows, axis=0).reshape(B, 2 * CHUNK).T
+        base = c0 << 7
 
-        # win/base are invariant within the inner scan: close over
-        # them instead of carrying them (a carried (B, 256) window is
-        # ~16 MB of HBM traffic per step — the dominant decode cost).
+        # winT/base are invariant within the inner scan: close over
+        # them instead of carrying them.
         def inner_step(carry, s0):
             X, p, ctx = carry
             outs = []
             for u in range(DEC_U):
-                X, p, ctx, symd = one(X, p, ctx, s0 + u, win, base)
+                X, p, ctx, symd = one(X, p, ctx, s0 + u, winT, base)
                 outs.append(symd)
-            return (X, p, ctx), jnp.stack(outs, axis=1)   # (B,DU,4)
+            return (X, p, ctx), jnp.stack(outs, axis=0)   # (DU,4,B)
 
         steps = ko * PER + jnp.arange(DEC_R) * DEC_U
         (X, p, ctx), syms = lax.scan(
             inner_step, (X, p, ctx), steps)
-        return (X, p, ctx), syms                       # (DEC_R, B, DU, 4)
+        return (X, p, ctx), syms                       # (DEC_R, DU, 4, B)
 
     p0 = jnp.zeros((B,), jnp.int32)
-    ctx0 = jnp.zeros((B, 4), jnp.int32)
-    (Xf, pf, _), syms = lax.scan(outer, (X0, p0, ctx0),
+    ctx0 = jnp.zeros((4, B), jnp.int32)
+    X0T = jnp.transpose(X0, (1, 0))
+    (Xf, pf, _), syms = lax.scan(outer, (X0T, p0, ctx0),
                                  jnp.arange(KO, dtype=jnp.int32))
-    # (KO, DEC_R, B, DU, 4) -> (KO*DEC_R*DU, B, 4)
-    syms = jnp.transpose(syms, (0, 1, 3, 2, 4)).reshape(KO * PER, B, 4)
-    return syms, Xf
+    return syms.reshape(KO * PER, 4, B), Xf
+
+
+def _undensify_T(syms, alpha):
+    """dense (K,4,B) + alpha (B,A) -> byte values (K,4,B) u8, with the
+    alphabet axis major and B minor."""
+    A = alpha.shape[1]
+    alphaT = jnp.transpose(alpha, (1, 0)).astype(jnp.uint32)   # (A,B)
+    iota = jnp.arange(A, dtype=jnp.int32)[:, None, None, None]
+    oh = syms[None].astype(jnp.int32) == iota                  # (A,K,4,B)
+    return jnp.sum(jnp.where(oh, alphaT[:, None, None, :],
+                             jnp.uint32(0)), axis=0).astype(jnp.uint8)
 
 
 def _dec_to_bytes_impl(X0, chunks, packed, alpha, shift, K: int, q: int,
                        N: int, order: int):
-    """Decode + dense->byte mapping + (K,B,4)->(B,N) reassembly."""
+    """Decode + dense->byte mapping + (K,4,B)->(B,N) reassembly."""
     syms, _ = _dec_scan_impl(X0, chunks, packed, shift, K, q, order)
     B = X0.shape[0]
-    out_b = _undensify(jnp.transpose(syms[:K], (1, 0, 2)), alpha)  # (B,K,4)
+    out_t = _undensify_T(syms[:K], alpha)                      # (K,4,B)
     if order == 1:
-        main = jnp.transpose(out_b[:, :q, :], (0, 2, 1)).reshape(B, 4 * q)
+        main = jnp.transpose(out_t[:q], (2, 1, 0)).reshape(B, 4 * q)
         if 4 * q >= N:
             return main[:, :N]
-        tailp = out_b[:, q:, 3]
+        tailp = jnp.transpose(out_t[q:, 3, :], (1, 0))         # (B,K-q)
         return jnp.concatenate([main, tailp[:, :N - 4 * q]], axis=1)
-    flat = out_b.reshape(B, K * 4)
+    flat = jnp.transpose(out_t, (2, 0, 1)).reshape(B, K * 4)
     return flat[:, :N]
 
 
@@ -428,88 +454,101 @@ def dec_o0_batch(states, words, out_sz: int, alpha, packed,
 
 def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
                    seg_cap: int = SEG_CAP):
-    """Core v2 encode: densify, build processing-order params on
-    device, run the reverse scan fetching (start,freq) from the dense
-    packed tables, and sort-compact the emitted words.
+    """Core v2 encode, TRANSPOSED layout (lanes/alphabet major, block
+    axis B minor — see _dec_scan_impl): densify, build
+    processing-order params on device, run the reverse scan fetching
+    (start,freq) from the dense packed tables, and sort-compact the
+    emitted words.
 
     Returns (states (B,4) u32 [lane 0..3], words (B, cap) u16 forward
     order, counts (B,) i32).
     """
     B, N = blocks.shape
+    A = packed.shape[1]
     dense = _densify(blocks, alpha)                           # (B,N) i32
+    if order == 1:
+        packedT = jnp.transpose(packed, (1, 2, 0))            # (A,A,B)
+    else:
+        packedT = jnp.transpose(packed, (1, 0))[:, None, :]   # (A,1,B)
 
     if order == 1:
         q = N >> 2
         tail = N - 4 * q
         D4 = dense[:, :4 * q].reshape(B, 4, q)
         # main steps (processing order k = q-2..0): ctx D4[:,:,k],
-        # sym D4[:,:,k+1]
-        sym_main = jnp.transpose(D4[:, :, 1:][:, :, ::-1], (2, 0, 1))
-        ctx_main = jnp.transpose(D4[:, :, :-1][:, :, ::-1], (2, 0, 1))
+        # sym D4[:,:,k+1] — built as (K, 4, B)
+        sym_main = jnp.transpose(D4[:, :, 1:][:, :, ::-1], (2, 1, 0))
+        ctx_main = jnp.transpose(D4[:, :, :-1][:, :, ::-1], (2, 1, 0))
         # tail steps s=0..tail-1 (lane 3): sym dense[N-1-s], ctx dense[N-2-s]
         if tail:
             idx = N - 1 - jnp.arange(tail)
             st3 = dense[:, idx]                               # (B, tail)
             ct3 = dense[:, idx - 1]
-            sym_t = jnp.zeros((tail, B, 4), jnp.int32).at[:, :, 3].set(st3.T)
-            ctx_t = jnp.zeros((tail, B, 4), jnp.int32).at[:, :, 3].set(ct3.T)
+            sym_t = jnp.zeros((tail, 4, B), jnp.int32).at[:, 3, :].set(st3.T)
+            ctx_t = jnp.zeros((tail, 4, B), jnp.int32).at[:, 3, :].set(ct3.T)
             parts_s = [sym_t, sym_main]
             parts_c = [ctx_t, ctx_main]
         else:
             parts_s = [sym_main]
             parts_c = [ctx_main]
         # final step: sym D4[:,:,0], ctx 0
-        parts_s.append(D4[:, :, 0][None])
-        parts_c.append(jnp.zeros((1, B, 4), jnp.int32))
-        sym_p = jnp.concatenate(parts_s, axis=0)              # (K,B,4)
+        parts_s.append(jnp.transpose(D4[:, :, 0], (1, 0))[None])
+        parts_c.append(jnp.zeros((1, 4, B), jnp.int32))
+        sym_p = jnp.concatenate(parts_s, axis=0)              # (K,4,B)
         ctx_p = jnp.concatenate(parts_c, axis=0)
         K = tail + q
-        valid = jnp.ones((K, B, 4), bool)
+        valid = jnp.ones((K, 4, B), bool)
         if tail:
             v = jnp.zeros((tail, 4), bool).at[:, 3].set(True)
             valid = valid.at[:tail].set(
-                jnp.broadcast_to(v[:, None, :], (tail, B, 4)))
+                jnp.broadcast_to(v[:, :, None], (tail, 4, B)))
     else:
         K = -(-N // 4)
         pad = K * 4 - N
         dpad = jnp.pad(dense, ((0, 0), (0, pad)))
         sy = dpad.reshape(B, K, 4)
-        sym_p = jnp.transpose(sy, (1, 0, 2))[::-1, :, ::-1]
+        sym_p = jnp.transpose(sy, (1, 2, 0))[::-1, ::-1, :]   # (K,4,B)
         ctx_p = jnp.zeros_like(sym_p)
-        valid = jnp.ones((K, B, 4), bool)
+        valid = jnp.ones((K, 4, B), bool)
         if pad:
             vlast = jnp.zeros((4,), bool).at[4 - pad:].set(True)
             # processing order flips lanes: padded lanes are first
-            valid = valid.at[0].set(~vlast[::-1])
+            valid = valid.at[0].set(
+                jnp.broadcast_to(~vlast[::-1][:, None], (4, B)))
         sym_p = jnp.where(valid, sym_p, 0)
 
     if order == 1:
         # processing order within a step is state 3 first
-        sym_p = sym_p[:, :, ::-1]
-        ctx_p = ctx_p[:, :, ::-1]
-        valid = valid[:, :, ::-1]
-    # keep the big (K,B,4) scan inputs compact (A <= MAX_DENSE_A < 256)
+        sym_p = sym_p[:, ::-1, :]
+        ctx_p = ctx_p[:, ::-1, :]
+        valid = valid[:, ::-1, :]
+    # keep the big (K,4,B) scan inputs compact (A <= MAX_DENSE_A < 256)
     sym_p = sym_p.astype(jnp.uint8)
     ctx_p = ctx_p.astype(jnp.uint8)
 
-    x0 = jnp.full((B, 4), RANS_L, dtype=jnp.uint32)
+    x0 = jnp.full((4, B), RANS_L, dtype=jnp.uint32)
     if isinstance(shift, int):
         xmax_mult = jnp.uint32((RANS_L >> shift) << 16)
         shl = shift
     else:
-        shl = shift.astype(jnp.uint32)[:, None]            # (B,1)
+        shl = shift.astype(jnp.uint32)[None, :]            # (1,B)
         xmax_mult = (jnp.uint32(RANS_L) >> shl) << 16
 
+    iota_a = jnp.arange(A, dtype=jnp.int32)[:, None, None]
+
     def step(x, inp):
-        ctx, sym, ok = inp
+        ctx, sym, ok = inp                                 # (4,B)
         ctx = ctx.astype(jnp.int32)
         sym = sym.astype(jnp.int32)
         if order == 1:
-            row = _row_fetch(packed, ctx)
+            ohc = ctx[None, :, :] == iota_a                # (A,4,B)
+            row = jnp.sum(jnp.where(ohc[:, None, :, :],
+                                    packedT[:, :, None, :], 0),
+                          axis=0)                          # (A,4,B)
         else:
-            row = jnp.broadcast_to(packed[:, None, :],
-                                   (B, 4, packed.shape[1]))
-        val = _col_pick(row, sym)
+            row = packedT                                  # (A,1,B)
+        ohs = sym[None, :, :] == iota_a
+        val = jnp.sum(jnp.where(ohs, row, 0), axis=0)      # (4,B)
         start = (val >> PACK_SHIFT).astype(jnp.uint32)
         freq = (val & PACK_MASK).astype(jnp.uint32)
         freq_s = jnp.where(ok, freq, jnp.uint32(1))
@@ -525,16 +564,13 @@ def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
     xf, (words, emits) = lax.scan(step, x0, (ctx_p, sym_p, valid),
                                   unroll=ENC_UNROLL)
 
-    # forward order = reverse of processing order.  The barrier forces
-    # the (B, E) flattening to materialise as one dense 2D transpose:
-    # without it XLA fuses downstream casts into the transpose and
-    # materialises a (B, K, 4) copy whose minor dim pads 4 -> 128 on
-    # TPU (32x the memory).
-    w = jnp.transpose(words[::-1, :, ::-1], (1, 0, 2)).reshape(B, K * 4)
-    e = jnp.transpose(emits[::-1, :, ::-1], (1, 0, 2)).reshape(B, K * 4)
+    # forward order = reverse of processing order (steps and lanes).
+    # The barrier keeps the flattening a single dense transpose.
+    w = jnp.transpose(words[::-1, ::-1, :], (2, 0, 1)).reshape(B, K * 4)
+    e = jnp.transpose(emits[::-1, ::-1, :], (2, 0, 1)).reshape(B, K * 4)
     w, e = lax.optimization_barrier((w, e))
     out, n, overflow = _compact(w, e, seg_cap)
-    return xf[:, ::-1], out, n, overflow
+    return jnp.transpose(xf, (1, 0))[:, ::-1], out, n, overflow
 
 
 @functools.partial(jax.jit, static_argnames=("shift", "order", "seg_cap"))
