@@ -35,6 +35,7 @@ htscodecs/rANS_static4x16pr.c:786-846 (encode) and :1024-1114
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -62,6 +63,45 @@ SEG_CAP2 = 64        # middle retry tier (q40-class ratios emit ~35
 # i32 packing of (base, freq): both <= 4096 (12-bit tables)
 PACK_SHIFT = 13
 PACK_MASK = (1 << PACK_SHIFT) - 1
+
+# --- decode-step formulation variants (round 3) -----------------------
+#
+# Two independent knobs, both byte-exact (they change arithmetic
+# schedule only, never the stream):
+#
+# row_fetch: 'onehot' — (A,A,4,B) masked reduce (the r2 engine).  Cost
+#            grows as A^2 per symbol: ~150 us/sym at A=48, B=12288 —
+#            the q40-class wall (VERDICT r2 item 1).
+#            'take'   — jnp.take of the 4B per-lane context rows from
+#            a (B*A, A) table, then an A-minor resolve: ~A*4*B work.
+# win:       'coarse' — (256,B) renorm window refilled every 30 syms
+#            (the r2 engine).  The in-step 256-wide select measures
+#            ~22 us/sym — nearly the whole A<=8 decode floor.
+#            'fine'   — 16-word chunk granularity, 64-wide window
+#            refilled every 2*DEC_U syms-per-step*6 steps: 4x less
+#            select work per symbol.
+#
+# Defaults come from env (bench.py autotunes on the real chip and sets
+# set_dec_variant); tests sweep all four combinations for exactness.
+_DEC_VARIANT = {
+    "row_fetch": os.environ.get("HTSCODECS_TPU_ROW_FETCH", "onehot"),
+    "win": os.environ.get("HTSCODECS_TPU_WIN", "coarse"),
+}
+
+FINE_CW = 16          # words per fine chunk row (CHUNK must divide)
+FINE_W = 64           # fine window width
+DEC_R_FINE = 6        # inner steps per fine refill: 15 + 4*DEC_U*6 < 64
+
+
+def set_dec_variant(row_fetch=None, win=None):
+    if row_fetch is not None:
+        _DEC_VARIANT["row_fetch"] = row_fetch
+    if win is not None:
+        _DEC_VARIANT["win"] = win
+
+
+def get_dec_variant():
+    return dict(_DEC_VARIANT)
 
 
 def _round_a(a: int) -> int:
@@ -241,7 +281,8 @@ def _win_pick(win, off):
 # ---------------------------------------------------------------------------
 # Decode
 
-def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int):
+def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
+                   row_fetch: str = "onehot", win: str = "coarse"):
     """Core v2 decode scan, TRANSPOSED layout: the 4 rANS lanes and
     the alphabet live in MAJOR dims and the block axis B is the minor
     (VPU-lane) dim.  The previous (B, 4[, A]) layout padded its tiny
@@ -249,12 +290,14 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int):
     the transposed form measures ~2x faster end to end.
 
     ``shift`` is a static int or a traced per-block (B,) i32 vector
-    (mixed-shift batches, sharded paths).
+    (mixed-shift batches, sharded paths).  ``row_fetch``/``win`` pick
+    the step formulation (see _DEC_VARIANT above); all combinations
+    produce identical bytes.
 
     X0: (B,4) u32 initial states; chunks: (B*NC, CHUNK) u32 word
     stream (u16 values) chunked along the major axis; packed:
     (B, A, A) i32 for order-1 or (B, A) i32 for order-0.
-    Returns dense symbols (KO*DEC_R*DEC_U, 4, B) (first K steps valid)
+    Returns dense symbols (KO*R*DEC_U, 4, B) (first K steps valid)
     and final states (4, B)."""
     B = X0.shape[0]
     NC = chunks.shape[0] // B
@@ -264,44 +307,70 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int):
     else:
         shr = shift.astype(jnp.uint32)[None, :]            # (1,B)
         mask = (jnp.uint32(1) << shr) - 1
-    PER = DEC_R * DEC_U
-    KO = -(-K // PER)
     A = packed.shape[1]
-    if order == 1:
+    take_rows = row_fetch == "take" and order == 1
+    R = DEC_R_FINE if win == "fine" else DEC_R
+    W = FINE_W if win == "fine" else 2 * CHUNK
+    PER = R * DEC_U
+    KO = -(-K // PER)
+    if take_rows:
+        tbl = packed.reshape(B * A, A)                      # row = b*A+ctx
+        brangeA = (jnp.arange(B, dtype=jnp.int32) * A)[None, :]
+        iota_r = jnp.arange(A, dtype=jnp.int32)             # (A,) minor
+        packedT = None
+    elif order == 1:
         packedT = jnp.transpose(packed, (1, 2, 0))          # (A,A,B)
     else:
         packedT = jnp.transpose(packed, (1, 0))[:, None, :] # (A,1,B)
     lane3 = (jnp.arange(4, dtype=jnp.int32) == 3)[:, None]  # (4,1)
     iota_a = jnp.arange(A, dtype=jnp.int32)[:, None, None]  # (A,1,1)
-    iota_w = jnp.arange(2 * CHUNK, dtype=jnp.int32)[:, None, None]
+    iota_w = jnp.arange(W, dtype=jnp.int32)[:, None, None]
 
     def one(X, p, ctx, s, winT, base):
         # X/ctx (4,B); p (B,)
+        m = (X & mask).astype(jnp.int32)
         if order == 1:
             act = (s < q) | ((s < K) & lane3)               # (4,B)-b
-            ohc = ctx[None, :, :] == iota_a                 # (A,4,B)
-            row = jnp.sum(jnp.where(ohc[:, None, :, :],
-                                    packedT[:, :, None, :], 0),
-                          axis=0)                           # (A,4,B)
         else:
             act = jnp.broadcast_to(s < K, (4, B))
-            row = packedT                                   # (A,1,B)
-        m = (X & mask).astype(jnp.int32)
-        rb = row >> PACK_SHIFT
-        rf = row & PACK_MASK
-        ok = (rb <= m[None]) & (rf > 0)                     # (A,4,B)
-        symd = jnp.max(jnp.where(ok, iota_a, 0), axis=0)    # (4,B)
-        ohs = symd[None, :, :] == iota_a                    # (A,4,B)
-        b = jnp.sum(jnp.where(ohs & (rf > 0), rb, 0),
-                    axis=0).astype(jnp.uint32)
-        f = jnp.sum(jnp.where(ohs & (rf > 0), rf, 0),
-                    axis=0).astype(jnp.uint32)
+        if take_rows:
+            # per-lane context rows via the major-axis take fast path:
+            # A*4*B work instead of the A^2*4*B one-hot reduce.
+            idx = (brangeA + ctx).reshape(-1)               # (4B,)
+            row = jnp.take(tbl, idx, axis=0,
+                           mode='clip').reshape(4, B, A)
+            rb = row >> PACK_SHIFT
+            rf = row & PACK_MASK
+            ok = (rb <= m[:, :, None]) & (rf > 0)           # (4,B,A)
+            symd = jnp.max(jnp.where(ok, iota_r, 0), axis=2)
+            ohs = symd[:, :, None] == iota_r                # (4,B,A)
+            b = jnp.sum(jnp.where(ohs & (rf > 0), rb, 0),
+                        axis=2).astype(jnp.uint32)
+            f = jnp.sum(jnp.where(ohs & (rf > 0), rf, 0),
+                        axis=2).astype(jnp.uint32)
+        else:
+            if order == 1:
+                ohc = ctx[None, :, :] == iota_a             # (A,4,B)
+                row = jnp.sum(jnp.where(ohc[:, None, :, :],
+                                        packedT[:, :, None, :], 0),
+                              axis=0)                       # (A,4,B)
+            else:
+                row = packedT                               # (A,1,B)
+            rb = row >> PACK_SHIFT
+            rf = row & PACK_MASK
+            ok = (rb <= m[None]) & (rf > 0)                 # (A,4,B)
+            symd = jnp.max(jnp.where(ok, iota_a, 0), axis=0)
+            ohs = symd[None, :, :] == iota_a                # (A,4,B)
+            b = jnp.sum(jnp.where(ohs & (rf > 0), rb, 0),
+                        axis=0).astype(jnp.uint32)
+            f = jnp.sum(jnp.where(ohs & (rf > 0), rf, 0),
+                        axis=0).astype(jnp.uint32)
         Xn = f * (X >> shr) + m.astype(jnp.uint32) - b
         need = (Xn < jnp.uint32(RANS_L)) & act
         ni = need.astype(jnp.int32)
         off = (p[None, :] - base[None, :]) + (jnp.cumsum(ni, axis=0) - ni)
-        sel = jnp.where(need, off, 2 * CHUNK)               # (4,B)
-        ohw = sel[None, :, :] == iota_w                     # (2C,4,B)
+        sel = jnp.where(need, off, W)                       # (4,B)
+        ohw = sel[None, :, :] == iota_w                     # (W,4,B)
         w = jnp.sum(jnp.where(ohw, winT[:, None, :], jnp.uint32(0)),
                     axis=0, dtype=jnp.uint32)
         Xn = jnp.where(need, (Xn << 16) | (w & jnp.uint32(0xFFFF)), Xn)
@@ -310,15 +379,32 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int):
         ctx = jnp.where(act, symd, ctx)
         return X, p, ctx, symd.astype(jnp.uint8)
 
-    brange = jnp.arange(B, dtype=jnp.int32) * NC
+    if win == "fine":
+        # 16-word chunk rows carved in-jit from the 128-word matrix;
+        # a refill takes 4 consecutive rows -> 64-wide window.
+        NC2 = NC * (CHUNK // FINE_CW)
+        chunks_f = chunks.reshape(B * NC2, FINE_CW)
+        brange2 = jnp.arange(B, dtype=jnp.int32) * NC2
+
+        def refill(p):
+            c0 = jnp.minimum(p >> 4, NC2 - 1)
+            cs = [brange2 + jnp.minimum(c0 + i, NC2 - 1) for i in range(4)]
+            rows = jnp.stack(cs, axis=1).reshape(-1)
+            winT = jnp.take(chunks_f, rows, axis=0).reshape(B, FINE_W).T
+            return winT, c0 << 4
+    else:
+        brange = jnp.arange(B, dtype=jnp.int32) * NC
+
+        def refill(p):
+            c0 = jnp.minimum(p >> 7, NC - 1)
+            c1 = jnp.minimum(c0 + 1, NC - 1)
+            rows = jnp.stack([brange + c0, brange + c1], axis=1).reshape(-1)
+            winT = jnp.take(chunks, rows, axis=0).reshape(B, 2 * CHUNK).T
+            return winT, c0 << 7
 
     def outer(carry, ko):
         X, p, ctx = carry
-        c0 = jnp.minimum(p >> 7, NC - 1)
-        c1 = jnp.minimum(c0 + 1, NC - 1)
-        rows = jnp.stack([brange + c0, brange + c1], axis=1).reshape(-1)
-        winT = jnp.take(chunks, rows, axis=0).reshape(B, 2 * CHUNK).T
-        base = c0 << 7
+        winT, base = refill(p)
 
         # winT/base are invariant within the inner scan: close over
         # them instead of carrying them.
@@ -330,10 +416,10 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int):
                 outs.append(symd)
             return (X, p, ctx), jnp.stack(outs, axis=0)   # (DU,4,B)
 
-        steps = ko * PER + jnp.arange(DEC_R) * DEC_U
+        steps = ko * PER + jnp.arange(R) * DEC_U
         (X, p, ctx), syms = lax.scan(
             inner_step, (X, p, ctx), steps)
-        return (X, p, ctx), syms                       # (DEC_R, DU, 4, B)
+        return (X, p, ctx), syms                       # (R, DU, 4, B)
 
     p0 = jnp.zeros((B,), jnp.int32)
     ctx0 = jnp.zeros((4, B), jnp.int32)
@@ -355,9 +441,11 @@ def _undensify_T(syms, alpha):
 
 
 def _dec_to_bytes_impl(X0, chunks, packed, alpha, shift, K: int, q: int,
-                       N: int, order: int):
+                       N: int, order: int,
+                       row_fetch: str = "onehot", win: str = "coarse"):
     """Decode + dense->byte mapping + (K,4,B)->(B,N) reassembly."""
-    syms, _ = _dec_scan_impl(X0, chunks, packed, shift, K, q, order)
+    syms, _ = _dec_scan_impl(X0, chunks, packed, shift, K, q, order,
+                             row_fetch, win)
     B = X0.shape[0]
     out_t = _undensify_T(syms[:K], alpha)                      # (K,4,B)
     if order == 1:
@@ -370,24 +458,31 @@ def _dec_to_bytes_impl(X0, chunks, packed, alpha, shift, K: int, q: int,
     return flat[:, :N]
 
 
-@functools.partial(jax.jit, static_argnames=("shift", "K", "q", "order"))
-def _dec_scan_v2(X0, chunks, packed, shift: int, K: int, q: int, order: int):
-    return _dec_scan_impl(X0, chunks, packed, shift, K, q, order)
+@functools.partial(jax.jit, static_argnames=("shift", "K", "q", "order",
+                                             "row_fetch", "win"))
+def _dec_scan_v2(X0, chunks, packed, shift: int, K: int, q: int, order: int,
+                 row_fetch: str = "onehot", win: str = "coarse"):
+    return _dec_scan_impl(X0, chunks, packed, shift, K, q, order,
+                          row_fetch, win)
 
 
-@functools.partial(jax.jit, static_argnames=("shift", "K", "q", "N", "order"))
+@functools.partial(jax.jit, static_argnames=("shift", "K", "q", "N", "order",
+                                             "row_fetch", "win"))
 def _dec_v2_to_bytes(X0, chunks, packed, alpha, shift: int, K: int, q: int,
-                     N: int, order: int):
+                     N: int, order: int,
+                     row_fetch: str = "onehot", win: str = "coarse"):
     return _dec_to_bytes_impl(X0, chunks, packed, alpha, shift, K, q, N,
-                              order)
+                              order, row_fetch, win)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "q", "N", "order"))
+@functools.partial(jax.jit, static_argnames=("K", "q", "N", "order",
+                                             "row_fetch", "win"))
 def _dec_v2_to_bytes_pb(X0, chunks, packed, alpha, shiftv, K: int, q: int,
-                        N: int, order: int):
+                        N: int, order: int,
+                        row_fetch: str = "onehot", win: str = "coarse"):
     """Per-block traced shift variant (mixed 10/12-bit batches)."""
     return _dec_to_bytes_impl(X0, chunks, packed, alpha, shiftv, K, q, N,
-                              order)
+                              order, row_fetch, win)
 
 
 def _chunkify(words: np.ndarray) -> np.ndarray:
@@ -431,7 +526,7 @@ def dec_o1_batch(states, words, out_sz: int, alpha, packed, shift: int):
         jnp.asarray(states.astype(np.uint32)),
         jnp.asarray(_chunkify(words)),
         jnp.asarray(packed), jnp.asarray(alpha),
-        shift, K, q, out_sz, 1)
+        shift, K, q, out_sz, 1, **_DEC_VARIANT)
     return np.asarray(out)[:B]
 
 
@@ -445,7 +540,7 @@ def dec_o0_batch(states, words, out_sz: int, alpha, packed,
         jnp.asarray(states.astype(np.uint32)),
         jnp.asarray(_chunkify(words)),
         jnp.asarray(packed), jnp.asarray(alpha),
-        shift, q, q, out_sz, 0)
+        shift, q, q, out_sz, 0, win=_DEC_VARIANT["win"])
     return np.asarray(out)[:B]
 
 

@@ -202,7 +202,8 @@ def _decode_fn(mesh: Mesh, K: int, q: int, N: int, cap: int):
         chunks = padded.reshape(Bb * (cap // rans_v2.CHUNK),
                                 rans_v2.CHUNK)
         return rans_v2._dec_v2_to_bytes_pb(
-            states, chunks, packed, alpha, shiftv, K, q, N, 1)
+            states, chunks, packed, alpha, shiftv, K, q, N, 1,
+            **rans_v2.get_dec_variant())
 
     return jax.shard_map(
         local, mesh=mesh,

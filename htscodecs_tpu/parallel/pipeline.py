@@ -116,7 +116,8 @@ def roundtrip_o1_v2(blocks, alpha, packed, shift: int, N: int):
     q = N >> 2
     K = q + (N - 4 * q)
     out = rans_v2._dec_v2_to_bytes(states, chunks, packed, alpha,
-                                   shift, K, q, N, 1)
+                                   shift, K, q, N, 1,
+                                   **rans_v2.get_dec_variant())
     # a compaction overflow (locally-expanding data) is a failure here:
     # the standalone encoders re-run the exact path instead.
     mism = jnp.sum(out != blocks) + overflow.astype(jnp.int64)

@@ -205,6 +205,44 @@ def test_dense_native_matches_sparse():
         assert np.array_equal(p4[np.ix_(idx, idx)], p3)
 
 
+@pytest.mark.parametrize("row_fetch", ["onehot", "take"])
+@pytest.mark.parametrize("win", ["coarse", "fine"])
+@pytest.mark.parametrize("a", [3, 44])
+def test_decode_variants_byte_exact(row_fetch, win, a):
+    """Every (row_fetch, win) decode formulation must produce
+    identical bytes (they only reschedule arithmetic)."""
+    n, B = 2049, 4
+    blocks = np.stack([mkdata(n, a, True) for _ in range(B)])
+    ref = [rans4x16.compress(blocks[b], 1) for b in range(B)]
+    if any(s[0] != 1 for s in ref):
+        pytest.skip("CAT fallback stream")
+    parsed = []
+    for s in ref:
+        _osz, pos = varint.get_uint(s, 1, len(s))
+        off, _sfb, f2d, b2d, sh = native.parse_tables_o1(s[pos:])
+        parsed.append((s, pos + off, f2d, b2d, sh))
+    shift = parsed[0][4]
+    if any(p[4] != shift for p in parsed):
+        pytest.skip("mixed shifts")
+    Wmax = max((len(s) - o - 16) // 2 for s, o, *_ in parsed)
+    X = np.zeros((B, 4), np.uint32)
+    wbuf = np.zeros((B, max(Wmax, 1)), "<u2")
+    for b, (s, o, *_t) in enumerate(parsed):
+        X[b] = np.frombuffer(s[o:o + 16], "<u4")
+        w = np.frombuffer(s[o + 16:o + 16 + 2 * ((len(s) - o - 16) // 2)],
+                          "<u2")
+        wbuf[b, :len(w)] = w
+    alpha, packed, _ = rans_v2.densify_group(
+        np.stack([p[2] for p in parsed]), np.stack([p[3] for p in parsed]))
+    saved = rans_v2.get_dec_variant()
+    try:
+        rans_v2.set_dec_variant(row_fetch=row_fetch, win=win)
+        dec = rans_v2.dec_o1_batch(X, wbuf, n, alpha, packed, shift)
+    finally:
+        rans_v2.set_dec_variant(**saved)
+    assert np.array_equal(dec, blocks)
+
+
 def test_wide_alphabet_rejected():
     blocks = np.stack([np.arange(256, dtype=np.uint8)] * 2)
     _h, sts, frs, _sh = _o1_group(blocks)
