@@ -94,14 +94,15 @@ def bench_corpus(name, blocks, check_exact=True):
     def table_stage():
         return tables_v2.build_o1_device_async(jb)
 
-    def enc_pipeline(seg_cap):
+    def enc_pipeline(seg_cap, row_fetch="onehot"):
         t0 = time.time()
         st = table_stage()
         if st is None:
             return None
         alpha_d, packed_d, fhdr_d, meta_d, _H, _A = st
         st_d, w_d, n_d, ovf = rans_v2._enc_scan_v2_pb(
-            jb, alpha_d, packed_d, meta_d[:, 1], 1, seg_cap=seg_cap)
+            jb, alpha_d, packed_d, meta_d[:, 1], 1, seg_cap=seg_cap,
+            row_fetch=row_fetch)
         # host work below overlaps the dispatched device scan
         meta = np.asarray(meta_d)
         fhdr = np.asarray(fhdr_d)
@@ -121,9 +122,20 @@ def bench_corpus(name, blocks, check_exact=True):
             return None                   # wide alphabet: declined
         if not bool(np.asarray(_w[9])):
             break
+    A_pad = int(_w[4].shape[1])
+
+    # ---- autotune the encode row-fetch formulation (byte-exact
+    # variants; wide alphabets favour 'take', tiny ones 'onehot') ----
+    enc_rf = "onehot"
+    if A_pad > 8:
+        cand_t = enc_pipeline(seg_cap, "take")     # warm+time 'take'
+        t_oh = enc_pipeline(seg_cap, "onehot")[0]
+        t_tk = enc_pipeline(seg_cap, "take")[0]
+        if min(t_tk, cand_t[0]) < t_oh:
+            enc_rf = "take"
     t_enc = None
     for _ in range(2):                    # steady state: best of two
-        r = enc_pipeline(seg_cap)
+        r = enc_pipeline(seg_cap, enc_rf)
         t_enc = r[0] if t_enc is None else min(t_enc, r[0])
     dt, meta, hdrs, alpha_d, packed_d, meta_d, st_d, w_d, n_d, ovf = r
     assert not bool(np.asarray(ovf)), f"{name}: compaction overflow"
@@ -146,31 +158,44 @@ def bench_corpus(name, blocks, check_exact=True):
     cap = int(((int(counts_all.max()) + 2 * rans_v2.CHUNK - 1)
                // rans_v2.CHUNK) * rans_v2.CHUNK)
 
-    @functools.partial(jax.jit, static_argnames=("cap",))
-    def dec(st, w, jp, ja, sv, cap):
+    @functools.partial(jax.jit, static_argnames=("cap", "row_fetch", "win"))
+    def dec(st, w, jp, ja, sv, cap, row_fetch, win):
         Bb = st.shape[0]
         padded = jnp.zeros((Bb, cap), jnp.uint32)
         padded = padded.at[:, :w.shape[1]].set(w.astype(jnp.uint32))
         chunks = padded.reshape(Bb * (cap // rans_v2.CHUNK), rans_v2.CHUNK)
         return rans_v2._dec_v2_to_bytes_pb(st, chunks, jp, ja, sv,
-                                           q, q, Nc, 1)
+                                           q, q, Nc, 1,
+                                           row_fetch=row_fetch, win=win)
 
     w_trim = w_d[:, :cap]
     shiftv = meta_d[:, 1]
 
-    def dec_pipeline():
+    def dec_pipeline(rf, wn):
         t0 = time.time()
-        out = dec(st_d, w_trim, packed_d, alpha_d, shiftv, cap)
+        out = dec(st_d, w_trim, packed_d, alpha_d, shiftv, cap, rf, wn)
         # host parses every block header while the device decodes
         for h in hdrs:
             native.parse_tables_o1_dense(h + b"\x00" * 16)
         np.asarray(jnp.sum(out[:, :4].astype(jnp.uint32)))
         return time.time() - t0, out
 
-    _w, out = dec_pipeline()              # warm
+    # ---- autotune the decode formulation (all byte-exact) ----
+    dec_cands = [("onehot", "coarse"), ("onehot", "fine")]
+    if A_pad > 8:
+        dec_cands += [("take", "coarse"), ("take", "fine")]
+    best = None
+    for rf, wn in dec_cands:
+        dec_pipeline(rf, wn)              # warm (compiles)
+        t, _ = dec_pipeline(rf, wn)
+        if best is None or t < best[0]:
+            best = (t, rf, wn)
+    dec_rf, dec_wn = best[1], best[2]
+
+    _w2, out = dec_pipeline(dec_rf, dec_wn)   # warm winner
     t_dec = None
     for _ in range(2):
-        dtd, out = dec_pipeline()
+        dtd, out = dec_pipeline(dec_rf, dec_wn)
         t_dec = dtd if t_dec is None else min(t_dec, dtd)
 
     # ---- verify ----
@@ -197,6 +222,7 @@ def bench_corpus(name, blocks, check_exact=True):
         "shifts": sorted(int(v) for v in np.unique(shifts)),
         "band_flags": nflag, "mismatches": mism,
         "byte_exact": bool(byte_exact),
+        "variants": {"enc": enc_rf, "dec": f"{dec_rf}/{dec_wn}"},
     }
 
 

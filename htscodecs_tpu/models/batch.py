@@ -55,7 +55,8 @@ def _as_u8(b) -> np.ndarray:
     return np.frombuffer(bytes(b), dtype=np.uint8)
 
 
-def compress_blocks(blocks, order: int, engine: str = "auto") -> list[bytes]:
+def compress_blocks(blocks, order: int, engine: str = "auto",
+                    bodies_fn=None) -> list[bytes]:
     """Compress a sequence of blocks with the rANS 4x16 codec.
 
     Any reference order bit-field is accepted: plain 0/1 batches
@@ -67,13 +68,18 @@ def compress_blocks(blocks, order: int, engine: str = "auto") -> list[bytes]:
     `rans4x16.compress` in every path.
 
     engine: "auto" | "device" | "host".
+    bodies_fn: optional entropy-body producer ``(batch (B,N) u8,
+    order01) -> list[bytes] | None`` — the sharded layer
+    (parallel/distributed.py) injects a shard_map engine here so
+    ragged and transform-flagged batches reuse this exact peel/group
+    machinery over a device mesh.
     """
     arrs = [_as_u8(b) for b in blocks]
     out: list[bytes | None] = [None] * len(arrs)
 
     plain_order = order in (0, 1)
     if not plain_order and engine != "host":
-        return _compress_blocks_transform(arrs, order, engine)
+        return _compress_blocks_transform(arrs, order, engine, bodies_fn)
     groups: dict[int, list[int]] = defaultdict(list)
     for i, a in enumerate(arrs):
         if plain_order and engine != "host" and len(a) >= 32:
@@ -88,8 +94,13 @@ def compress_blocks(blocks, order: int, engine: str = "auto") -> list[bytes]:
                 out[i] = rans4x16.compress(arrs[i], order)
             continue
         batch = np.stack([arrs[i] for i in idxs])
-        streams = (_compress_batch_o1(batch) if order == 1
-                   else _compress_batch_o0(batch))
+        bodies = bodies_fn(batch, order) if bodies_fn is not None else None
+        if bodies is not None:
+            streams = [_frame(order, n, body, batch[k])
+                       for k, body in enumerate(bodies)]
+        else:
+            streams = (_compress_batch_o1(batch) if order == 1
+                       else _compress_batch_o0(batch))
         for i, s in zip(idxs, streams):
             out[i] = s
 
@@ -239,7 +250,7 @@ def _peel_encode(data: np.ndarray, order: int, jobs: list):
     return ("fin", fin)
 
 
-def _encode_entropy_jobs(jobs: list, engine: str) -> dict:
+def _encode_entropy_jobs(jobs: list, engine: str, bodies_fn=None) -> dict:
     """Encode deferred (data, order01) entropy jobs, batching
     same-shape groups through the device engines.  Returns
     {jid: body bytes}."""
@@ -257,13 +268,16 @@ def _encode_entropy_jobs(jobs: list, engine: str) -> dict:
                                 else rans4x16._compress_o0(d))
             continue
         batch = np.stack([jobs[j][0] for j in jids])
-        bodies = _bodies_o1(batch) if o else _bodies_o0(batch)
+        bodies = bodies_fn(batch, o) if bodies_fn is not None else None
+        if bodies is None:
+            bodies = _bodies_o1(batch) if o else _bodies_o0(batch)
         for jid, body in zip(jids, bodies):
             results[jid] = body
     return results
 
 
-def _compress_blocks_transform(arrs, order: int, engine: str) -> list[bytes]:
+def _compress_blocks_transform(arrs, order: int, engine: str,
+                               bodies_fn=None) -> list[bytes]:
     out: list[bytes | None] = [None] * len(arrs)
     jobs: list = []
     fins: list[tuple[int, tuple]] = []
@@ -272,7 +286,7 @@ def _compress_blocks_transform(arrs, order: int, engine: str) -> list[bytes]:
             fins.append((i, _peel_encode(a, order, jobs)))
         except ValueError:
             out[i] = rans4x16.compress(a, order)
-    res = _encode_entropy_jobs(jobs, engine) if jobs else {}
+    res = _encode_entropy_jobs(jobs, engine, bodies_fn) if jobs else {}
     for i, cand in fins:
         s = _finish(cand, res)
         out[i] = s if s is not None else rans4x16.compress(arrs[i], order)
@@ -331,7 +345,8 @@ def _bodies_o1_devtables(batch: np.ndarray) -> list[bytes] | None:
     alpha_d, packed_d, fhdr_d, meta_d, H_d, A = r
     # async dispatch: the scan depends only on device arrays
     states, words, counts, ovf = rans_v2._enc_scan_v2_pb(
-        jb, alpha_d, packed_d, meta_d[:, 1], 1)
+        jb, alpha_d, packed_d, meta_d[:, 1], 1,
+        **rans_v2.get_enc_variant())
     # host work overlaps the running scan
     meta = np.asarray(meta_d)
     fhdr = np.asarray(fhdr_d)
@@ -344,7 +359,8 @@ def _bodies_o1_devtables(batch: np.ndarray) -> list[bytes] | None:
     if bool(np.asarray(ovf)):
         for cap in (rans_v2.SEG_CAP2, rans_v2.SEG):
             states, words, counts, ovf = rans_v2._enc_scan_v2_pb(
-                jb, alpha_d, packed_d, meta_d[:, 1], 1, seg_cap=cap)
+                jb, alpha_d, packed_d, meta_d[:, 1], 1, seg_cap=cap,
+                **rans_v2.get_enc_variant())
             if not bool(np.asarray(ovf)):
                 break
     states = np.asarray(states)
@@ -780,13 +796,18 @@ def _peel_stripe(s: bytes, out_size):
     return ulen, N, lanes
 
 
-def uncompress_blocks(streams, out_sizes=None, engine: str = "auto") -> list[bytes]:
+def uncompress_blocks(streams, out_sizes=None, engine: str = "auto",
+                      dec_fn=None) -> list[bytes]:
     """Decompress a sequence of rANS 4x16 streams.
 
     Transform-flagged streams (PACK/RLE/CAT/NOSZ and STRIPE
     containers) are peeled host-side and their entropy payloads —
     including every stripe lane — join the same batched device decode
-    as the plain streams."""
+    as the plain streams.
+
+    dec_fn: optional decode-group engine ``(order01, osz, states,
+    words, alpha, packed, shift) -> (B, osz) u8 | None`` injected by
+    the sharded layer (parallel/distributed.py)."""
     streams = [bytes(s) for s in streams]
     out: list[bytes | None] = [None] * len(streams)
     if any(not s for s in streams):
@@ -842,7 +863,7 @@ def uncompress_blocks(streams, out_sizes=None, engine: str = "auto") -> list[byt
                 jobs.append((jid, order, body, t1))
                 finishers.append((i, "plain", (jid, post)))
 
-    results = _decode_entropy_jobs(jobs, engine) if jobs else {}
+    results = _decode_entropy_jobs(jobs, engine, dec_fn) if jobs else {}
 
     # ---- assemble ----------------------------------------------------
     for i, kind, state in finishers:
@@ -880,7 +901,7 @@ def uncompress_blocks(streams, out_sizes=None, engine: str = "auto") -> list[byt
     return out  # type: ignore[return-value]
 
 
-def _decode_entropy_jobs(jobs, engine: str) -> dict:
+def _decode_entropy_jobs(jobs, engine: str, dec_fn=None) -> dict:
     """Decode a list of (jid, order, body, out_sz) rans4x16 entropy
     payloads, batching same-shape groups onto the device.  Returns
     {jid: np.uint8 array} (missing jid = parse failure)."""
@@ -934,8 +955,11 @@ def _decode_entropy_jobs(jobs, engine: str) -> dict:
             shift = key[2]
             alpha, packed, _ = rans_v2.densify_builds(
                 (t[3], t[4]) for t in items)
-            dec = rans_v2.dec_o1_batch(states, words, osz, alpha,
-                                       packed, shift)
+            dec = dec_fn(1, osz, states, words, alpha, packed,
+                         shift) if dec_fn is not None else None
+            if dec is None:
+                dec = rans_v2.dec_o1_batch(states, words, osz, alpha,
+                                           packed, shift)
         else:
             # per-slot LUTs -> per-symbol tables: sbase[m] = m - start
             frs = np.zeros((B, 256), np.uint32)
@@ -955,7 +979,11 @@ def _decode_entropy_jobs(jobs, engine: str) -> dict:
                         results[it[0]] = rr
                 continue
             alpha, packed, _ = dense
-            dec = rans_v2.dec_o0_batch(states, words, osz, alpha, packed)
+            dec = dec_fn(0, osz, states, words, alpha, packed,
+                         12) if dec_fn is not None else None
+            if dec is None:
+                dec = rans_v2.dec_o0_batch(states, words, osz, alpha,
+                                           packed)
         for k, it in enumerate(items):
             results[it[0]] = dec[k]
 

@@ -881,6 +881,76 @@ def _read_param1(buf, pos: int, end: int) -> tuple[Param | None, int]:
 
 
 # ---------------------------------------------------------------------------
+# Debug dumpers (``fqzcomp_qual.c:226-307`` dump_params/dump_table/
+# dump_map): human-readable parameter-block rendering for debugging
+# picker/serialisation issues.  Output format mirrors the reference.
+
+def _dump_table(tab, name, out):
+    parts, i, n = [], 0, len(tab)
+    while i < n:
+        j = i
+        while j + 1 < n and tab[j + 1] == tab[j]:
+            j += 1
+        if j > i:                              # constant run
+            parts.append(f"{tab[i]} x {j - i + 1}")
+            i = j + 1
+            continue
+        k = i
+        while k + 1 < n and tab[k + 1] == tab[k] + 1:
+            k += 1
+        if k > i + 1:                          # ascending run
+            # keep trailing equal values out of the ramp (0..2 3x3)
+            if k + 1 < n and tab[k + 1] == tab[k]:
+                k -= 1
+            parts.append(f"{tab[i]}..{tab[k]}")
+            i = k + 1
+            continue
+        parts.append(str(tab[i]))
+        i += 1
+    print(f"\t{name}\t{{{', '.join(parts)}}}", file=out)
+
+
+def _dump_map(map_, name, out):
+    ent = [f"{i}={v}" for i, v in enumerate(map_) if v != INT_MAX]
+    print(f"\t{name}\t{{{', '.join(ent)}}}", file=out)
+
+
+def dump_params(gp: GParams, out=None) -> None:
+    """Render a parameter set like the reference's ``dump_params``."""
+    import sys
+    out = out or sys.stderr
+    print("Global params = {", file=out)
+    print(f"\tvers\t{gp.vers}", file=out)
+    print(f"\tgflags\t0x{gp.gflags:02x}", file=out)
+    print(f"\tnparam\t{gp.nparam}", file=out)
+    print(f"\tmax_sel\t{gp.max_sel}", file=out)
+    print(f"\tmax_sym\t{gp.max_sym}", file=out)
+    if gp.gflags & GFLAG_HAVE_STAB:
+        _dump_table(gp.stab, "stab", out)
+    print("}", file=out)
+    for i, pm in enumerate(gp.p):
+        print(f"\nParam[{i}] = {{", file=out)
+        print(f"\tcontext\t0x{pm.context:04x}", file=out)
+        print(f"\tpflags\t0x{pm.pflags:02x}", file=out)
+        print(f"\tmax_sym\t{pm.max_sym}", file=out)
+        print(f"\tqbits\t{pm.qbits}", file=out)
+        print(f"\tqshift\t{pm.qshift}", file=out)
+        print(f"\tqloc\t{pm.qloc}", file=out)
+        print(f"\tsloc\t{pm.sloc}", file=out)
+        print(f"\tploc\t{pm.ploc}", file=out)
+        print(f"\tdloc\t{pm.dloc}", file=out)
+        if pm.pflags & PFLAG_HAVE_QMAP:
+            _dump_map(pm.qmap, "qmap", out)
+        if pm.pflags & PFLAG_HAVE_QTAB:
+            _dump_table(pm.qtab, "qtab", out)
+        if pm.pflags & PFLAG_HAVE_PTAB:
+            _dump_table(pm.ptab, "ptab", out)
+        if pm.pflags & PFLAG_HAVE_DTAB:
+            _dump_table(pm.dtab, "dtab", out)
+        print("}", file=out)
+
+
+# ---------------------------------------------------------------------------
 # Models and the per-byte scan
 
 class _Models:

@@ -104,6 +104,24 @@ def get_dec_variant():
     return dict(_DEC_VARIANT)
 
 
+# Encode-side knob: same 'take' trick for the O1 (start,freq) fetch —
+# the symbol is already known at encode time, so 'take' fetches the
+# 4B ctx rows and resolves the symbol with one A-wide one-hot (A*4*B
+# work) instead of the A^2*4*B ctx one-hot reduce.
+_ENC_VARIANT = {
+    "row_fetch": os.environ.get("HTSCODECS_TPU_ENC_ROW_FETCH", "onehot"),
+}
+
+
+def set_enc_variant(row_fetch=None):
+    if row_fetch is not None:
+        _ENC_VARIANT["row_fetch"] = row_fetch
+
+
+def get_enc_variant():
+    return dict(_ENC_VARIANT)
+
+
 def _round_a(a: int) -> int:
     """Pad alphabet size to a small set of buckets to limit jit variants."""
     for cand in (4, 8, 16, 24, 32, 48, 64, 96):
@@ -548,7 +566,7 @@ def dec_o0_batch(states, words, out_sz: int, alpha, packed,
 # Encode
 
 def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
-                   seg_cap: int = SEG_CAP):
+                   seg_cap: int = SEG_CAP, row_fetch: str = "onehot"):
     """Core v2 encode, TRANSPOSED layout (lanes/alphabet major, block
     axis B minor — see _dec_scan_impl): densify, build
     processing-order params on device, run the reverse scan fetching
@@ -561,7 +579,13 @@ def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
     B, N = blocks.shape
     A = packed.shape[1]
     dense = _densify(blocks, alpha)                           # (B,N) i32
-    if order == 1:
+    take_rows = row_fetch == "take" and order == 1
+    if take_rows:
+        tbl = packed.reshape(B * A, A)                        # row = b*A+ctx
+        brangeA = (jnp.arange(B, dtype=jnp.int32) * A)[None, :]
+        iota_r = jnp.arange(A, dtype=jnp.int32)               # (A,) minor
+        packedT = None
+    elif order == 1:
         packedT = jnp.transpose(packed, (1, 2, 0))            # (A,A,B)
     else:
         packedT = jnp.transpose(packed, (1, 0))[:, None, :]   # (A,1,B)
@@ -635,15 +659,22 @@ def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
         ctx, sym, ok = inp                                 # (4,B)
         ctx = ctx.astype(jnp.int32)
         sym = sym.astype(jnp.int32)
-        if order == 1:
-            ohc = ctx[None, :, :] == iota_a                # (A,4,B)
-            row = jnp.sum(jnp.where(ohc[:, None, :, :],
-                                    packedT[:, :, None, :], 0),
-                          axis=0)                          # (A,4,B)
+        if take_rows:
+            idx = (brangeA + ctx).reshape(-1)              # (4B,)
+            row = jnp.take(tbl, idx, axis=0,
+                           mode='clip').reshape(4, B, A)
+            ohs = sym[:, :, None] == iota_r                # (4,B,A)
+            val = jnp.sum(jnp.where(ohs, row, 0), axis=2)  # (4,B)
         else:
-            row = packedT                                  # (A,1,B)
-        ohs = sym[None, :, :] == iota_a
-        val = jnp.sum(jnp.where(ohs, row, 0), axis=0)      # (4,B)
+            if order == 1:
+                ohc = ctx[None, :, :] == iota_a            # (A,4,B)
+                row = jnp.sum(jnp.where(ohc[:, None, :, :],
+                                        packedT[:, :, None, :], 0),
+                              axis=0)                      # (A,4,B)
+            else:
+                row = packedT                              # (A,1,B)
+            ohs = sym[None, :, :] == iota_a
+            val = jnp.sum(jnp.where(ohs, row, 0), axis=0)  # (4,B)
         start = (val >> PACK_SHIFT).astype(jnp.uint32)
         freq = (val & PACK_MASK).astype(jnp.uint32)
         freq_s = jnp.where(ok, freq, jnp.uint32(1))
@@ -668,17 +699,21 @@ def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
     return jnp.transpose(xf, (1, 0))[:, ::-1], out, n, overflow
 
 
-@functools.partial(jax.jit, static_argnames=("shift", "order", "seg_cap"))
+@functools.partial(jax.jit, static_argnames=("shift", "order", "seg_cap",
+                                             "row_fetch"))
 def _enc_scan_v2(blocks, alpha, packed, shift: int, order: int,
-                 seg_cap: int = SEG_CAP):
-    return _enc_scan_impl(blocks, alpha, packed, shift, order, seg_cap)
+                 seg_cap: int = SEG_CAP, row_fetch: str = "onehot"):
+    return _enc_scan_impl(blocks, alpha, packed, shift, order, seg_cap,
+                          row_fetch)
 
 
-@functools.partial(jax.jit, static_argnames=("order", "seg_cap"))
+@functools.partial(jax.jit, static_argnames=("order", "seg_cap",
+                                             "row_fetch"))
 def _enc_scan_v2_pb(blocks, alpha, packed, shiftv, order: int,
-                    seg_cap: int = SEG_CAP):
+                    seg_cap: int = SEG_CAP, row_fetch: str = "onehot"):
     """Per-block traced shift variant (mixed 10/12-bit batches)."""
-    return _enc_scan_impl(blocks, alpha, packed, shiftv, order, seg_cap)
+    return _enc_scan_impl(blocks, alpha, packed, shiftv, order, seg_cap,
+                          row_fetch)
 
 
 def _enc_with_fallback(blocks, alpha, packed, shift: int, order: int):
@@ -686,7 +721,8 @@ def _enc_with_fallback(blocks, alpha, packed, shift: int, order: int):
     tier and then the exact single-sort path on (rare) overflow."""
     for cap in (SEG_CAP, SEG_CAP2, SEG):
         xf, words, n, ovf = _enc_scan_v2(blocks, alpha, packed, shift,
-                                         order, seg_cap=cap)
+                                         order, seg_cap=cap,
+                                         **_ENC_VARIANT)
         if not bool(np.asarray(ovf)):
             break
     return xf, words, n

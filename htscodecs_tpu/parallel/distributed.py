@@ -14,6 +14,11 @@ kinds of cross-host traffic, all O(scalars) or O(#blocks):
 Entry points:
 - ``init_distributed``       jax.distributed bring-up for N>=2 hosts
 - ``block_mesh``             1-D mesh over the global devices
+- ``compress_blocks``        sharded encode of RAGGED, transform-
+                             flagged batches (any order bit-field):
+                             models.batch peels transforms and groups
+                             by shape; each group runs one shard_map
+- ``uncompress_blocks``      sharded decode, same generality
 - ``compress_blocks_o1``     sharded order-1 encode (per-block traced
                              shift: mixed 10/12-bit batches run in one
                              shard_map, no host-side grouping)
@@ -111,7 +116,8 @@ def _encode_fn(mesh: Mesh, A: int, N: int, seg_cap: int):
         alpha, packed, fhdr, meta, H = tables_v2._build_o1_jit(
             jb, pres, A, N)
         states, words, counts, ovf = rans_v2._enc_scan_v2_pb(
-            jb, alpha, packed, meta[:, 1], 1, seg_cap=seg_cap)
+            jb, alpha, packed, meta[:, 1], 1, seg_cap=seg_cap,
+            **rans_v2.get_enc_variant())
         return (alpha, fhdr, meta, H, states, words, counts,
                 lax.pmax(ovf.astype(jnp.int32), ax))
 
@@ -131,25 +137,40 @@ def _pad_rows(arr: np.ndarray, mult: int):
     return arr, B
 
 
-def compress_blocks_o1(blocks: np.ndarray, mesh: Mesh | None = None
-                       ) -> list[bytes]:
-    """Sharded order-1 compression of this process's equal-length
-    blocks (B, N).  Streams are byte-identical to
-    ``rans4x16.compress(b, 1)``.  Wide alphabets (A > 96) and the rare
-    shift-band decision flips rebuild on the host."""
-    if mesh is None:
-        mesh = block_mesh()
-    B, N = blocks.shape
-    if N < 32 or not native.available():
-        return [rans4x16.compress(b, 1) for b in blocks]
+def _encode_o0_fn(mesh: Mesh, A: int, N: int, seg_cap: int):
+    ax = mesh.axis_names[0]
+
+    def local(jb):
+        alpha, packed, fhdr, asz = tables_v2._build_o0_jit(jb, A, N)
+        states, words, counts, ovf = rans_v2._enc_scan_v2(
+            jb, alpha, packed, 12, 0, seg_cap=seg_cap)
+        return (alpha, fhdr, asz, states, words, counts,
+                lax.pmax(ovf.astype(jnp.int32), ax))
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=P(ax, None),
+        out_specs=(P(ax, None), P(ax, None), P(ax), P(ax, None),
+                   P(ax, None), P(ax), P()),
+        check_vma=False)
+
+
+def _sharded_bodies_o1(batch: np.ndarray, mesh: Mesh) -> list[bytes] | None:
+    """Order-1 entropy bodies (freq header + payload, no wrapper
+    framing) produced by ONE shard_map over the mesh; None -> caller
+    falls back.  Blocks whose 10/12-bit shift-band decision actually
+    flips (exact f64 replay) re-encode on the host so streams stay
+    byte-exact."""
+    B, N = batch.shape
+    if N < 32 or N >= (1 << 23) or not native.available():
+        return None
     nloc = max(len(mesh.local_devices), 1)
-    arr, _ = _pad_rows(np.ascontiguousarray(blocks, np.uint8), nloc)
+    arr, _ = _pad_rows(np.ascontiguousarray(batch, np.uint8), nloc)
     garr = _to_global(arr, mesh)
 
     pres, amax_g = _presence_fn(mesh)(garr)
     amax = _allgather_max(int(np.asarray(amax_g)))
-    if amax > tables_v2.MAX_DENSE_A or N >= (1 << 23):
-        return [rans4x16.compress(b, 1) for b in blocks]
+    if amax > tables_v2.MAX_DENSE_A:
+        return None
     A = rans_v2._round_a(amax)
 
     res = _encode_fn(mesh, A, N, rans_v2.SEG_CAP)(garr, pres)
@@ -174,25 +195,101 @@ def compress_blocks_o1(blocks: np.ndarray, mesh: Mesh | None = None
                 flag[b] = 0
     hdrs = native.serialize_o1_dense_batch(alpha, asz, fhdr, shift)
     if hdrs is None:
-        return [rans4x16.compress(b, 1) for b in blocks]
+        return None
 
-    from ..models.batch import _frame
     out: list[bytes] = []
     for b in range(B):
         if flag[b]:
-            out.append(rans4x16.compress(blocks[b], 1))
+            out.append(rans4x16._compress_o1(batch[b]))
             continue
-        body = hdrs[b] + states[b].astype("<u4").tobytes() + \
-            words[b, :counts[b]].astype("<u2").tobytes()
-        out.append(_frame(1, N, body, blocks[b]))
+        out.append(hdrs[b] + states[b].astype("<u4").tobytes() +
+                   words[b, :counts[b]].astype("<u2").tobytes())
     return out
+
+
+def _sharded_bodies_o0(batch: np.ndarray, mesh: Mesh) -> list[bytes] | None:
+    """Order-0 entropy bodies via one shard_map; None -> fall back."""
+    B, N = batch.shape
+    if N < 1 or N >= (1 << 23) or not native.available():
+        return None
+    nloc = max(len(mesh.local_devices), 1)
+    arr, _ = _pad_rows(np.ascontiguousarray(batch, np.uint8), nloc)
+    garr = _to_global(arr, mesh)
+
+    _pres, amax_g = _presence_fn(mesh)(garr)
+    amax = _allgather_max(int(np.asarray(amax_g)))
+    if amax > tables_v2.MAX_DENSE_A:
+        return None
+    A = rans_v2._round_a(amax)
+
+    res = _encode_o0_fn(mesh, A, N, rans_v2.SEG_CAP)(garr)
+    if int(np.asarray(res[6])):
+        res = _encode_o0_fn(mesh, A, N, rans_v2.SEG)(garr)
+    _alpha_g, fhdr_g, _asz_g, states_g, words_g, counts_g, _ = res
+
+    fhdr = _local_np(fhdr_g)
+    states = _local_np(states_g)
+    words = _local_np(words_g)
+    counts = _local_np(counts_g)
+    hdrs = native.serialize_o0_batch(fhdr)
+    if hdrs is None:
+        return None
+    return [hdrs[b] + states[b].astype("<u4").tobytes() +
+            words[b, :counts[b]].astype("<u2").tobytes()
+            for b in range(B)]
+
+
+def sharded_bodies_fn(mesh: Mesh):
+    """Entropy-body producer for models.batch.compress_blocks'
+    ``bodies_fn`` hook: same-shape job groups run one shard_map each
+    instead of the single-device engines."""
+    def fn(batch: np.ndarray, order01: int):
+        return (_sharded_bodies_o1(batch, mesh) if order01
+                else _sharded_bodies_o0(batch, mesh))
+    return fn
+
+
+def compress_blocks(blocks, order: int = 1, mesh: Mesh | None = None,
+                    engine: str = "auto") -> list[bytes]:
+    """Sharded compression of arbitrary blocks: ragged lengths AND any
+    reference order bit-field (STRIPE/PACK/RLE/CAT/NOSZ).
+
+    Reuses models.batch's length grouping and transform peeling; every
+    same-shape entropy group — plain blocks and deferred STRIPE-lane /
+    PACK/RLE payload candidates alike — runs one shard_map over the
+    mesh (VERDICT r2 item 5).  Streams byte-identical to
+    ``rans4x16.compress``."""
+    if mesh is None:
+        mesh = block_mesh()
+    from ..models import batch as batchmod
+    return batchmod.compress_blocks(blocks, order, engine=engine,
+                                    bodies_fn=sharded_bodies_fn(mesh))
+
+
+def compress_blocks_o1(blocks: np.ndarray, mesh: Mesh | None = None
+                       ) -> list[bytes]:
+    """Sharded order-1 compression of this process's equal-length
+    blocks (B, N).  Streams are byte-identical to
+    ``rans4x16.compress(b, 1)``.  Wide alphabets (A > 96) and the rare
+    shift-band decision flips rebuild on the host."""
+    if mesh is None:
+        mesh = block_mesh()
+    B, N = blocks.shape
+    bodies = _sharded_bodies_o1(np.asarray(blocks, np.uint8), mesh)
+    if bodies is None:
+        return [rans4x16.compress(b, 1) for b in blocks]
+    from ..models.batch import _frame
+    return [_frame(1, N, body, blocks[b])
+            for b, body in enumerate(bodies)]
 
 
 # ---------------------------------------------------------------------------
 # sharded decode
 
-def _decode_fn(mesh: Mesh, K: int, q: int, N: int, cap: int):
+def _decode_fn(mesh: Mesh, K: int, q: int, N: int, cap: int,
+               order: int = 1):
     ax = mesh.axis_names[0]
+    ndim = 3 if order == 1 else 2
 
     def local(states, words, packed, alpha, shiftv):
         Bb = states.shape[0]
@@ -202,14 +299,65 @@ def _decode_fn(mesh: Mesh, K: int, q: int, N: int, cap: int):
         chunks = padded.reshape(Bb * (cap // rans_v2.CHUNK),
                                 rans_v2.CHUNK)
         return rans_v2._dec_v2_to_bytes_pb(
-            states, chunks, packed, alpha, shiftv, K, q, N, 1,
+            states, chunks, packed, alpha, shiftv, K, q, N, order,
             **rans_v2.get_dec_variant())
 
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(ax, None), P(ax, None), P(ax, None, None),
+        in_specs=(P(ax, None), P(ax, None),
+                  P(ax, *([None] * (ndim - 1))),
                   P(ax, None), P(ax)),
         out_specs=P(ax, None), check_vma=False)
+
+
+def _sharded_dec_group(order: int, osz: int, states, words, alpha,
+                       packed, shift: int, mesh: Mesh):
+    """Decode one same-shape entropy group via one shard_map.  Inputs
+    are the dense per-block arrays models.batch already assembled."""
+    B = states.shape[0]
+    nloc = max(len(mesh.local_devices), 1)
+    statesp, _ = _pad_rows(np.ascontiguousarray(states, np.uint32), nloc)
+    wordsp, _ = _pad_rows(np.ascontiguousarray(words), nloc)
+    alphap, _ = _pad_rows(np.ascontiguousarray(alpha, np.uint8), nloc)
+    packedp, _ = _pad_rows(np.ascontiguousarray(packed, np.int32), nloc)
+    shiftp = np.full(statesp.shape[0], shift, np.int32)
+    W = wordsp.shape[1]
+    cap = max(-(-W // rans_v2.CHUNK), 2) * rans_v2.CHUNK
+    if order == 1:
+        q = osz >> 2
+        K = q + (osz - 4 * q)
+    else:
+        K = q = -(-osz // 4)
+    out_g = _decode_fn(mesh, K, q, osz, cap, order)(
+        _to_global(statesp, mesh), _to_global(wordsp, mesh),
+        _to_global(packedp, mesh), _to_global(alphap, mesh),
+        _to_global(shiftp, mesh))
+    return _local_np(out_g)[:B]
+
+
+def sharded_dec_fn(mesh: Mesh):
+    """Decode-group engine for models.batch.uncompress_blocks'
+    ``dec_fn`` hook."""
+    def fn(order, osz, states, words, alpha, packed, shift):
+        try:
+            return _sharded_dec_group(order, osz, states, words, alpha,
+                                      packed, shift, mesh)
+        except Exception:
+            return None
+    return fn
+
+
+def uncompress_blocks(streams, out_sizes=None, mesh: Mesh | None = None,
+                      engine: str = "auto") -> list[bytes]:
+    """Sharded decompression of arbitrary rANS 4x16 streams: mixed
+    sizes, PACK/RLE/CAT/NOSZ wrappers and STRIPE containers.  The
+    host-side peel comes from models.batch; every same-shape entropy
+    group (incl. every stripe lane) decodes in one shard_map."""
+    if mesh is None:
+        mesh = block_mesh()
+    from ..models import batch as batchmod
+    return batchmod.uncompress_blocks(streams, out_sizes, engine=engine,
+                                      dec_fn=sharded_dec_fn(mesh))
 
 
 def uncompress_blocks_o1(streams, mesh: Mesh | None = None) -> list[bytes]:

@@ -107,7 +107,8 @@ def roundtrip_o1_v2(blocks, alpha, packed, shift: int, N: int):
     from ..ops import rans_v2
     B = blocks.shape[0]
     states, words, n, overflow = rans_v2._enc_scan_v2(
-        blocks, alpha, packed, shift, 1)
+        blocks, alpha, packed, shift, 1,
+        **rans_v2.get_enc_variant())
     cap = words.shape[1]
     NC = max(-(-cap // rans_v2.CHUNK), 2)
     padded = jnp.zeros((B, NC * rans_v2.CHUNK), jnp.uint32)

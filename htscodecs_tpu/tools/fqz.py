@@ -32,6 +32,9 @@ def main(argv=None) -> int:
     ap.add_argument("-s", type=int, default=0, help="strategy 0-4")
     ap.add_argument("-x", action="append", default=[],
                     help="manual 12-nibble hex params (repeatable)")
+    ap.add_argument("-D", action="store_true",
+                    help="dump the parameter block to stderr "
+                         "(reference dump_params equivalent)")
     ap.add_argument("input", nargs="?", default=None)
     ap.add_argument("output", nargs="?", default=None)
     args = ap.parse_args(argv)
@@ -41,6 +44,11 @@ def main(argv=None) -> int:
     if args.d:
         if not args.r:
             data = data[8:]
+        if args.D:
+            _sz, pos = fqz.varint.get_uint(data, 0, len(data))
+            gp, _ = fqz.read_parameters(data, pos, len(data))
+            if gp is not None:
+                fqz.dump_params(gp)
         out, lengths = fqz.decompress(data, with_lengths=True)
         pos = 0
         for ln in lengths:
@@ -55,6 +63,13 @@ def main(argv=None) -> int:
         hexes = [int(x, 0) for x in args.x]
         gp = fqz.manual_parameters(hexes, lens, flags,
                                    np.frombuffer(qual, np.uint8).copy())
+    elif args.D:
+        # pre-pick so the block can be dumped; compress() skips its own
+        # pick when gp is given (same code path -> identical stream)
+        gp = fqz.pick_parameters(4, args.s, lens, flags,
+                                 np.frombuffer(qual, np.uint8).copy())
+    if args.D and gp is not None:
+        fqz.dump_params(gp)
     blob = fqz.compress(qual, lens, flags, vers=4, strat=args.s, gp=gp)
     if not args.r:
         outf.write(len(qual).to_bytes(4, "little"))

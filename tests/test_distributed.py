@@ -65,6 +65,50 @@ def test_wide_alphabet_falls_back():
         assert s == rans4x16.compress(blocks[b], 1), b
 
 
+def _ragged_blocks():
+    """Mixed lengths, CRAM-slice-like: two length groups + strays."""
+    rng = np.random.default_rng(9)
+    blocks = []
+    for n in (2048, 2048, 2048, 1536, 1536, 4096, 777):
+        vals = rng.choice(np.array([33, 40, 52, 66], np.uint8),
+                          size=n, p=[.5, .3, .15, .05])
+        blocks.append(vals)
+    return blocks
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_sharded_ragged_plain(order):
+    """Ragged batches: each length group runs one shard_map; streams
+    byte-exact vs the host encoder (VERDICT r2 item 5)."""
+    mesh = dist.block_mesh()
+    blocks = _ragged_blocks()
+    streams = dist.compress_blocks(blocks, order, mesh, engine="device")
+    for b, s in enumerate(streams):
+        assert s == rans4x16.compress(blocks[b], order), (order, b)
+    back = dist.uncompress_blocks(streams, mesh=mesh, engine="device")
+    for b in range(len(blocks)):
+        assert back[b] == blocks[b].tobytes(), (order, b)
+
+
+@pytest.mark.parametrize("order", [193, 65, 129, 0x08 | (4 << 8)])
+def test_sharded_transform_flagged(order):
+    """STRIPE/PACK/RLE orders: transform peel host-side, every
+    deferred entropy candidate (incl. stripe lanes) shard_mapped."""
+    mesh = dist.block_mesh()
+    rng = np.random.default_rng(11)
+    blocks = []
+    for n in (4096, 4096, 4096, 2048):
+        vals = rng.choice(np.array([2, 3, 5, 9], np.uint8),
+                          size=n, p=[.6, .25, .1, .05])
+        blocks.append(np.repeat(vals, 2)[:n])
+    streams = dist.compress_blocks(blocks, order, mesh, engine="device")
+    for b, s in enumerate(streams):
+        assert s == rans4x16.compress(blocks[b], order), (order, b)
+    back = dist.uncompress_blocks(streams, mesh=mesh, engine="device")
+    for b in range(len(blocks)):
+        assert back[b] == blocks[b].tobytes(), (order, b)
+
+
 def test_archive_offsets_single_process():
     lens = [5, 0, 17, 3]
     offs, total = dist.archive_offsets(lens)

@@ -243,6 +243,30 @@ def test_decode_variants_byte_exact(row_fetch, win, a):
     assert np.array_equal(dec, blocks)
 
 
+@pytest.mark.parametrize("a", [3, 44])
+def test_encode_take_variant_byte_exact(a):
+    """The take-based encode row fetch must emit the identical stream."""
+    n, B = 2049, 4
+    blocks = np.stack([mkdata(n, a, True) for _ in range(B)])
+    _h, sts, frs, shs = _o1_group(blocks)
+    if not (shs == shs[0]).all():
+        pytest.skip("mixed shifts")
+    r = rans_v2.densify_group(frs.astype(np.uint16), sts.astype(np.uint16))
+    assert r is not None
+    alpha, packed, _ = r
+    saved = rans_v2.get_enc_variant()
+    try:
+        rans_v2.set_enc_variant(row_fetch="onehot")
+        s1, w1, c1 = rans_v2.enc_o1_batch(blocks, alpha, packed, int(shs[0]))
+        rans_v2.set_enc_variant(row_fetch="take")
+        s2, w2, c2 = rans_v2.enc_o1_batch(blocks, alpha, packed, int(shs[0]))
+    finally:
+        rans_v2.set_enc_variant(**saved)
+    assert np.array_equal(s1, s2) and np.array_equal(c1, c2)
+    for b in range(B):
+        assert np.array_equal(w1[b, :c1[b]], w2[b, :c2[b]])
+
+
 def test_wide_alphabet_rejected():
     blocks = np.stack([np.arange(256, dtype=np.uint8)] * 2)
     _h, sts, frs, _sh = _o1_group(blocks)

@@ -53,6 +53,26 @@ def test_fqz_cli(dat_dir):
     assert out == expect
 
 
+def test_fqz_dump_params(dat_dir):
+    """-D dumps the parameter block (dump_params equivalent) without
+    changing the emitted stream, on both encode and decode."""
+    raw = (dat_dir / "q40+dir").read_bytes()
+    r = subprocess.run(
+        [sys.executable, "-m", "htscodecs_tpu.tools.fqz", "-r", "-s", "1",
+         "-D"], input=raw, capture_output=True, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr.decode()
+    assert run_tool("fqz", ["-r", "-s", "1"], raw) == r.stdout
+    err = r.stderr.decode()
+    assert "Global params = {" in err and "Param[0] = {" in err
+    assert "context\t0x" in err
+    # decode side reads the block back out of the stream
+    r2 = subprocess.run(
+        [sys.executable, "-m", "htscodecs_tpu.tools.fqz", "-r", "-d", "-D"],
+        input=r.stdout, capture_output=True, cwd=REPO, timeout=600)
+    assert r2.returncode == 0, r2.stderr.decode()
+    assert "Global params = {" in r2.stderr.decode()
+
+
 def test_tok3_cli(names_dir):
     raw = (names_dir / "05.names").read_bytes()
     blob = run_tool("tok3", ["-r", "-N", "7"], raw)
