@@ -35,12 +35,20 @@ the headline corpus; the full corpus table goes to stderr.
 
 import functools
 import json
+import os
 import pathlib
 import sys
 import time
 
 import numpy as np
 
+# SURVEY §5 profiling integration: set HTSCODECS_TPU_BENCH_PROFILE=1
+# (or =/path/to/tracedir) to (a) emit XLA cost_analysis rooflines for
+# the steady-state enc/dec executables — flops, HBM bytes accessed,
+# and the achieved fraction of each given the measured wall time —
+# and (b) capture a jax.profiler trace of one steady-state pass per
+# corpus for xprof/tensorboard.
+PROFILE = os.environ.get("HTSCODECS_TPU_BENCH_PROFILE", "")
 BASELINE_AGG_MBPS = 200.0
 B = 12288
 G = 8
@@ -74,6 +82,39 @@ def tile_file(path, n_blocks, n):
     uniq = base.reshape(nb, n)
     reps = -(-n_blocks // nb)
     return np.tile(uniq, (reps, 1))[:n_blocks]
+
+
+def _cost_analysis(compiled, wall_s, label, extra=None):
+    """XLA cost-analysis roofline row: what the executable moves and
+    computes vs what the measured wall time achieved.  This is the
+    measurement that names the throughput wall: if achieved_GBps is
+    near HBM bandwidth the kernel is memory-bound; if flops dominate
+    it is compute-bound; if neither, it is issue/latency-bound."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        byt = float(ca.get("bytes accessed", 0.0))
+        row = {
+            "profile": label,
+            "flops_G": round(flops / 1e9, 2),
+            "bytes_accessed_GB": round(byt / 1e9, 3),
+            "wall_s": round(wall_s, 3),
+            "achieved_GFLOPs": round(flops / wall_s / 1e9, 1),
+            "achieved_GBps": round(byt / wall_s / 1e9, 2),
+            "arith_intensity": round(flops / byt, 2) if byt else None,
+        }
+        if extra:
+            row.update(extra)
+        print(json.dumps(row), file=sys.stderr, flush=True)
+    except Exception as e:                       # pragma: no cover
+        print(json.dumps({"profile": label, "error": str(e)[:120]}),
+              file=sys.stderr, flush=True)
+
+
+def _trace_dir():
+    return PROFILE if PROFILE not in ("", "1") else "/tmp/jax_trace_bench"
 
 
 def bench_corpus(name, blocks, check_exact=True):
@@ -198,6 +239,23 @@ def bench_corpus(name, blocks, check_exact=True):
         dtd, out = dec_pipeline(dec_rf, dec_wn)
         t_dec = dtd if t_dec is None else min(t_dec, dtd)
 
+    if PROFILE:
+        _cost_analysis(
+            dec.lower(st_d, w_trim, packed_d, alpha_d, shiftv, cap,
+                      dec_rf, dec_wn).compile(),
+            t_dec, f"{name}:dec", {"variant": f"{dec_rf}/{dec_wn}"})
+        _cost_analysis(
+            rans_v2._enc_scan_v2_pb.lower(
+                jb, alpha_d, packed_d, meta_d[:, 1], 1,
+                seg_cap=seg_cap, row_fetch=enc_rf).compile(),
+            t_enc, f"{name}:enc", {"variant": enc_rf})
+        with jax.profiler.trace(_trace_dir()):
+            enc_pipeline(seg_cap, enc_rf)
+            dec_pipeline(dec_rf, dec_wn)
+        print(json.dumps({"profile": f"{name}:trace",
+                          "dir": _trace_dir()}),
+              file=sys.stderr, flush=True)
+
     # ---- verify ----
     mism = int(np.asarray(jnp.sum(out != jb)))
     byte_exact = True
@@ -207,10 +265,11 @@ def bench_corpus(name, blocks, check_exact=True):
             w_d[chk, :counts_all[chk]]).astype("<u2").tobytes()
         blk_states = np.asarray(st_d[chk]).astype("<u4").tobytes()
         ref = rans4x16.compress(blocks[chk], 1)
-        osz, pos = varint.get_uint(ref, 1, len(ref))
-        off, *_t = native.parse_tables_o1(ref[pos:])
-        byte_exact = (ref[pos + off:] == blk_states + blk_words
-                      and hdrs[chk] == ref[pos:pos + off])
+        if ref[0] == 1:                   # tiny blocks may CAT out
+            osz, pos = varint.get_uint(ref, 1, len(ref))
+            off, *_t = native.parse_tables_o1(ref[pos:])
+            byte_exact = (ref[pos + off:] == blk_states + blk_words
+                          and hdrs[chk] == ref[pos:pos + off])
 
     return {
         "corpus": name,
@@ -235,16 +294,23 @@ def bench_fqz_tok3():
     if qf.exists():
         from htscodecs_tpu.models import fqz
         raw = qf.read_bytes() * 20
-        lens, arr = [], []
+        # parse like the reference tool: qual column ASCII-33 shifted,
+        # optional read2 flag column (feeding raw lines would widen the
+        # alphabet past 64 and measure the wrong model path)
+        lens, flags, arr = [], [], []
         for line in raw.split(b"\n"):
-            if line:
-                lens.append(len(line))
-                arr.append(np.frombuffer(line, np.uint8))
-        qual = np.concatenate(arr)
+            if not line:
+                continue
+            parts = line.replace(b"\t", b" ").split(b" ")
+            lens.append(len(parts[0]))
+            r2 = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+            flags.append(r2 * fqz.FQZ_FREAD2)
+            arr.append(np.frombuffer(parts[0], np.uint8))
+        qual = np.concatenate(arr) - 33
         lens = np.array(lens, np.uint32)
-        comp = fqz.compress(qual, lens, strat=0)
+        comp = fqz.compress(qual, lens, list(flags), strat=0)
         t0 = time.time()
-        comp = fqz.compress(qual, lens, strat=0)
+        comp = fqz.compress(qual, lens, list(flags), strat=0)
         te = time.time() - t0
         back = fqz.decompress(comp)
         t0 = time.time()

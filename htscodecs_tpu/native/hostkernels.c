@@ -1302,24 +1302,51 @@ static int am_decode(amodel *m, rcoder *rc) {
     return symbol;
 }
 
-/* Compact 64-symbol variant of amodel for the fqz quality contexts:
- * 260 B/context keeps the 65536-context array at ~17 MB (cache- and
- * init-friendly; the 258-symbol generic struct costs 4x).  Bitstream
- * behaviour is identical to amodel for any valid stream whose
- * alphabet fits (the frequency-sorted search order and renorm rules
- * are the contract; zero-count tail entries never participate). */
+/* Compact 64-symbol variant of amodel for the fqz quality contexts.
+ * 3-byte packed entries {cnt u16 LE, sym u8} keep tot plus the ~20
+ * hottest (move-to-front) entries inside ONE cache line: the context
+ * arena is 16 MB (65536 x 256 B) and never fits cache, so decode is
+ * line-miss bound — the earlier split cnt[64]/sym[64] layout touched
+ * two lines per symbol (cnt in line 0, sym at offset 130+).
+ * Bitstream behaviour is identical to amodel for any valid stream
+ * whose alphabet fits (the frequency-sorted search order and renorm
+ * rules are the contract; zero-count tail entries never participate). */
 typedef struct {
     uint16_t tot;      /* <= 65535 == 65519 max + one +16 step        */
-    uint16_t cnt[64];
-    uint8_t sym[64];   /* symbols < 64                                 */
-    uint8_t pad[62];   /* exactly 256 B: 4 lines, hot prefix in line 0 */
+    uint8_t e[192];    /* 64 x {uint16 cnt LE, uint8 sym}              */
+    uint8_t pad[62];   /* exactly 256 B: line-aligned element stride   */
 } am64;
+
+static inline uint32_t am64_cnt(const am64 *m, int p) {
+    uint16_t c;
+    memcpy(&c, m->e + 3 * p, 2);
+    return c;
+}
+
+static inline void am64_setcnt(am64 *m, int p, uint32_t c) {
+    uint16_t v = (uint16_t)c;
+    memcpy(m->e + 3 * p, &v, 2);
+}
+
+static inline int am64_sym(const am64 *m, int p) {
+    return m->e[3 * p + 2];
+}
+
+static inline void am64_swap1(am64 *m, int p) {      /* p <-> p-1 */
+    uint8_t t[3];
+    memcpy(t, m->e + 3 * p, 3);
+    memcpy(m->e + 3 * p, m->e + 3 * (p - 1), 3);
+    memcpy(m->e + 3 * (p - 1), t, 3);
+}
 
 static void am64_renorm(am64 *m) {
     uint32_t tot = 0;
-    for (int i = 0; i < 64 && m->cnt[i]; i++) {
-        m->cnt[i] -= m->cnt[i] >> 1;
-        tot += m->cnt[i];
+    for (int i = 0; i < 64; i++) {
+        uint32_t c = am64_cnt(m, i);
+        if (!c) break;
+        c -= c >> 1;
+        am64_setcnt(m, i, c);
+        tot += c;
     }
     m->tot = (uint16_t)tot;
 }
@@ -1327,21 +1354,17 @@ static void am64_renorm(am64 *m) {
 static inline void am64_encode(am64 *m, rcoder *rc, int symbol) {
     uint32_t acc = 0;
     int p = 0;
-    while (p < 64 && m->sym[p] != symbol) acc += m->cnt[p++];
+    while (p < 64 && am64_sym(m, p) != symbol) acc += am64_cnt(m, p++);
     if (p >= 64) {        /* inconsistent qmap/max_sym: fail the coder */
         rc->err = 1;
         return;
     }
-    rc_encode(rc, acc, m->cnt[p], m->tot);
-    m->cnt[p] += 16;
+    uint32_t cp = am64_cnt(m, p);
+    rc_encode(rc, acc, cp, m->tot);
+    am64_setcnt(m, p, cp + 16);
     m->tot += 16;
     if (m->tot > 65519) am64_renorm(m);
-    if (p && m->cnt[p] > m->cnt[p - 1]) {
-        uint8_t ts = m->sym[p];
-        uint16_t tc = m->cnt[p];
-        m->sym[p] = m->sym[p - 1]; m->cnt[p] = m->cnt[p - 1];
-        m->sym[p - 1] = ts; m->cnt[p - 1] = tc;
-    }
+    if (p && am64_cnt(m, p) > am64_cnt(m, p - 1)) am64_swap1(m, p);
 }
 
 static inline int am64_decode(am64 *m, rcoder *rc) {
@@ -1355,30 +1378,25 @@ static inline int am64_decode(am64 *m, rcoder *rc) {
         rc->range = r;
         if (code >= 65520ull * r) return 0;        /* f > 65519 */
         for (;;) {
-            c = p < 64 ? m->cnt[p] : (p == 64 ? 0 : 65519u);
+            c = p < 64 ? am64_cnt(m, p) : (p == 64 ? 0 : 65519u);
             if ((uint64_t)(acc + c) * r > code) break;
             acc += c;
             if (++p > 65) return 0;
         }
     } else {
         for (;;) {                       /* rc_get_freq f=0 path */
-            c = p < 64 ? m->cnt[p] : (p == 64 ? 0 : 65519u);
+            c = p < 64 ? am64_cnt(m, p) : (p == 64 ? 0 : 65519u);
             if (acc + c > 0) break;
             if (++p > 65) return 0;
         }
     }
     if (p > 64) return 0;
-    int symbol = m->sym[p];
-    rc_decode(rc, acc, m->cnt[p]);
-    m->cnt[p] += 16;
+    int symbol = am64_sym(m, p);
+    rc_decode(rc, acc, c);
+    am64_setcnt(m, p, c + 16);
     m->tot += 16;
     if (m->tot > 65519) am64_renorm(m);
-    if (p && m->cnt[p] > m->cnt[p - 1]) {
-        uint8_t ts = m->sym[p];
-        uint16_t tc = m->cnt[p];
-        m->sym[p] = m->sym[p - 1]; m->cnt[p] = m->cnt[p - 1];
-        m->sym[p - 1] = ts; m->cnt[p - 1] = tc;
-    }
+    if (p && am64_cnt(m, p) > am64_cnt(m, p - 1)) am64_swap1(m, p);
     return symbol;
 }
 
@@ -1572,8 +1590,8 @@ static int fqz_models_init(fqz_models *m, int max_sym_p1, int max_sel) {
         memset(&tmpl, 0, sizeof tmpl);
         tmpl.tot = (uint16_t)max_sym_p1;
         for (int i = 0; i < 64; i++) {
-            tmpl.sym[i] = (uint8_t)i;
-            tmpl.cnt[i] = i < max_sym_p1 ? 1 : 0;
+            tmpl.e[3 * i + 2] = (uint8_t)i;
+            am64_setcnt(&tmpl, i, i < max_sym_p1 ? 1 : 0);
         }
         m->qual64 = tls_qual64;
         for (int i = 0; i < 65536; i++) m->qual64[i] = tmpl;
