@@ -222,9 +222,11 @@ def bench_corpus(name, blocks, check_exact=True):
         return time.time() - t0, out
 
     # ---- autotune the decode formulation (all byte-exact) ----
-    dec_cands = [("onehot", "coarse"), ("onehot", "fine")]
+    dec_cands = [("onehot", "coarse"), ("onehot", "fine"),
+                 ("onehot", "xfine")]
     if A_pad > 8:
-        dec_cands += [("take", "coarse"), ("take", "fine")]
+        dec_cands += [("take", "coarse"), ("take", "fine"),
+                      ("take", "xfine")]
     best = None
     for rf, wn in dec_cands:
         dec_pipeline(rf, wn)              # warm (compiles)

@@ -80,17 +80,23 @@ PACK_MASK = (1 << PACK_SHIFT) - 1
 #            'fine'   — 16-word chunk granularity, 64-wide window
 #            refilled every 2*DEC_U syms-per-step*6 steps: 4x less
 #            select work per symbol.
+#            'xfine'  — 32-wide window, refill every 2 steps: another
+#            2x less select at 3x the refill-take frequency.
 #
 # Defaults come from env (bench.py autotunes on the real chip and sets
-# set_dec_variant); tests sweep all four combinations for exactness.
+# set_dec_variant); tests sweep every combination for exactness.
 _DEC_VARIANT = {
     "row_fetch": os.environ.get("HTSCODECS_TPU_ROW_FETCH", "onehot"),
     "win": os.environ.get("HTSCODECS_TPU_WIN", "coarse"),
 }
 
 FINE_CW = 16          # words per fine chunk row (CHUNK must divide)
-FINE_W = 64           # fine window width
-DEC_R_FINE = 6        # inner steps per fine refill: 15 + 4*DEC_U*6 < 64
+# window width, refill rows, inner steps per refill; consumption bound
+# per refill = (FINE_CW-1) + 4*DEC_U*R < W
+_WIN_PARAMS = {
+    "fine": (64, 4, 6),          # 15 + 8*6 = 63 < 64
+    "xfine": (32, 2, 2),         # 15 + 8*2 = 31 < 32
+}
 
 
 def set_dec_variant(row_fetch=None, win=None):
@@ -327,8 +333,10 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
         mask = (jnp.uint32(1) << shr) - 1
     A = packed.shape[1]
     take_rows = row_fetch == "take" and order == 1
-    R = DEC_R_FINE if win == "fine" else DEC_R
-    W = FINE_W if win == "fine" else 2 * CHUNK
+    if win in _WIN_PARAMS:
+        W, _NROWS, R = _WIN_PARAMS[win]
+    else:
+        W, R = 2 * CHUNK, DEC_R
     PER = R * DEC_U
     KO = -(-K // PER)
     if take_rows:
@@ -397,18 +405,19 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
         ctx = jnp.where(act, symd, ctx)
         return X, p, ctx, symd.astype(jnp.uint8)
 
-    if win == "fine":
+    if win in _WIN_PARAMS:
         # 16-word chunk rows carved in-jit from the 128-word matrix;
-        # a refill takes 4 consecutive rows -> 64-wide window.
+        # a refill takes W/16 consecutive rows -> W-wide window.
         NC2 = NC * (CHUNK // FINE_CW)
         chunks_f = chunks.reshape(B * NC2, FINE_CW)
         brange2 = jnp.arange(B, dtype=jnp.int32) * NC2
 
         def refill(p):
             c0 = jnp.minimum(p >> 4, NC2 - 1)
-            cs = [brange2 + jnp.minimum(c0 + i, NC2 - 1) for i in range(4)]
+            cs = [brange2 + jnp.minimum(c0 + i, NC2 - 1)
+                  for i in range(_NROWS)]
             rows = jnp.stack(cs, axis=1).reshape(-1)
-            winT = jnp.take(chunks_f, rows, axis=0).reshape(B, FINE_W).T
+            winT = jnp.take(chunks_f, rows, axis=0).reshape(B, W).T
             return winT, c0 << 4
     else:
         brange = jnp.arange(B, dtype=jnp.int32) * NC
