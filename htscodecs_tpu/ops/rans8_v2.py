@@ -153,16 +153,24 @@ def enc_o1_batch(blocks: np.ndarray, alpha, packed):
 # ---------------------------------------------------------------------------
 # decode
 
-@functools.partial(jax.jit, static_argnames=("K", "q", "order"))
-def _dec_scan8(X0, chunks, packed, K: int, q: int, order: int):
-    """Byte-renorm decode scan; returns dense symbols (KO*R8, B, 4)
-    u8 and final states."""
+@functools.partial(jax.jit, static_argnames=("K", "q", "order", "win"))
+def _dec_scan8(X0, chunks, packed, K: int, q: int, order: int,
+               win: str = "coarse"):
+    """Byte-renorm decode scan; returns dense symbols (KO*R, B, 4)
+    u8 and final states.  ``win`` mirrors rans_v2's window variants
+    (byte-exact): 'coarse' = 256-wide window refilled every 16 steps,
+    'fine'/'xfine' = 64/32-wide windows from 16-byte rows (each step
+    consumes <= 8 bytes: 4 lanes x up to 2 renorm bytes)."""
     B = X0.shape[0]
     NC = chunks.shape[0] // B
     mask = jnp.uint32((1 << SHIFT) - 1)
-    KO = -(-K // R8)
+    if win in rans_v2._WIN_PARAMS:
+        W, NROWS, R = rans_v2._WIN_PARAMS[win]
+    else:
+        W, R = 2 * CHUNK, R8
+    KO = -(-K // R)
     lane3 = jnp.arange(4, dtype=jnp.int32)[None, :] == 3
-    iotaW = jnp.arange(2 * CHUNK, dtype=jnp.int32)[None, None, :]
+    iotaW = jnp.arange(W, dtype=jnp.int32)[None, None, :]
 
     def inner_step(carry, s):
         X, p, ctx, win, base = carry
@@ -190,8 +198,8 @@ def _dec_scan8(X0, chunks, packed, K: int, q: int, order: int):
         need2 = need1 & (Xn < jnp.uint32(RANS8_L >> 8))
         c = need1.astype(jnp.int32) + need2.astype(jnp.int32)
         startl = (p[:, None] - base) + (jnp.cumsum(c, axis=1) - c)
-        off1 = jnp.where(need1, startl, 2 * CHUNK)
-        off2 = jnp.where(need2, startl + 1, 2 * CHUNK)
+        off1 = jnp.where(need1, startl, W)
+        off2 = jnp.where(need2, startl + 1, W)
         sel1 = off1[:, :, None] == iotaW
         sel2 = off2[:, :, None] == iotaW
         b1 = jnp.sum(jnp.where(sel1, win[:, None, :], 0),
@@ -205,31 +213,50 @@ def _dec_scan8(X0, chunks, packed, K: int, q: int, order: int):
         ctx = jnp.where(act, symd, ctx)
         return (X, p, ctx, win, base), symd.astype(jnp.uint8)
 
-    brange = jnp.arange(B, dtype=jnp.int32) * NC
+    if win in rans_v2._WIN_PARAMS:
+        FC = rans_v2.FINE_CW
+        NC2 = NC * (CHUNK // FC)
+        chunks_f = chunks.reshape(B * NC2, FC)
+        brange2 = jnp.arange(B, dtype=jnp.int32) * NC2
+
+        def refill(p):
+            c0 = jnp.minimum(p >> 4, NC2 - 1)
+            cs = [brange2 + jnp.minimum(c0 + i, NC2 - 1)
+                  for i in range(NROWS)]
+            rows = jnp.stack(cs, axis=1).reshape(-1)
+            return (jnp.take(chunks_f, rows, axis=0).reshape(B, W),
+                    (c0 << 4)[:, None])
+    else:
+        brange = jnp.arange(B, dtype=jnp.int32) * NC
+
+        def refill(p):
+            c0 = jnp.minimum(p >> 7, NC - 1)
+            c1 = jnp.minimum(c0 + 1, NC - 1)
+            rows = jnp.stack([brange + c0, brange + c1],
+                             axis=1).reshape(-1)
+            return (jnp.take(chunks, rows, axis=0).reshape(B, 2 * CHUNK),
+                    (c0 << 7)[:, None])
 
     def outer(carry, ko):
         X, p, ctx = carry
-        c0 = jnp.minimum(p >> 7, NC - 1)
-        c1 = jnp.minimum(c0 + 1, NC - 1)
-        rows = jnp.stack([brange + c0, brange + c1], axis=1).reshape(-1)
-        win = jnp.take(chunks, rows, axis=0).reshape(B, 2 * CHUNK)
-        base = (c0 << 7)[:, None]
-        steps = ko * R8 + jnp.arange(R8)
+        winb, base = refill(p)
+        steps = ko * R + jnp.arange(R)
         (X, p, ctx, _, _), syms = lax.scan(
-            inner_step, (X, p, ctx, win, base), steps)
+            inner_step, (X, p, ctx, winb, base), steps)
         return (X, p, ctx), syms
 
     p0 = jnp.zeros((B,), jnp.int32)
     ctx0 = jnp.zeros((B, 4), jnp.int32)
     (Xf, pf, _), syms = lax.scan(outer, (X0, p0, ctx0),
                                  jnp.arange(KO, dtype=jnp.int32))
-    return syms.reshape(KO * R8, B, 4), Xf
+    return syms.reshape(KO * R, B, 4), Xf
 
 
-@functools.partial(jax.jit, static_argnames=("K", "q", "N", "order"))
+@functools.partial(jax.jit, static_argnames=("K", "q", "N", "order",
+                                             "win"))
 def _dec8_to_bytes(X0, chunks, packed, alpha, K: int, q: int, N: int,
-                   order: int):
-    syms, Xf = _dec_scan8(X0, chunks, packed, K, q, order)
+                   order: int, win: str = "coarse"):
+    syms, Xf = _dec_scan8(X0, chunks, packed, K, q, order, win)
     B = X0.shape[0]
     out_b = _undensify(jnp.transpose(syms[:K], (1, 0, 2)), alpha)
     if order == 1:
@@ -279,7 +306,8 @@ def dec_o0_batch(states, stream, out_sz: int, alpha, packed):
     out = _dec8_to_bytes(
         jnp.asarray(states.astype(np.uint32)),
         jnp.asarray(_chunkify8(stream)),
-        jnp.asarray(packed), jnp.asarray(alpha), K, K, out_sz, 0)
+        jnp.asarray(packed), jnp.asarray(alpha), K, K, out_sz, 0,
+        win=rans_v2._DEC_VARIANT["win"])
     return np.asarray(out)
 
 
@@ -289,5 +317,6 @@ def dec_o1_batch(states, stream, out_sz: int, alpha, packed):
     out = _dec8_to_bytes(
         jnp.asarray(states.astype(np.uint32)),
         jnp.asarray(_chunkify8(stream)),
-        jnp.asarray(packed), jnp.asarray(alpha), K, q, out_sz, 1)
+        jnp.asarray(packed), jnp.asarray(alpha), K, q, out_sz, 1,
+        win=rans_v2._DEC_VARIANT["win"])
     return np.asarray(out)

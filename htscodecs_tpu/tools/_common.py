@@ -26,8 +26,12 @@ def add_common(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("output", nargs="?", default=None)
 
 
-def run_block_tool(compress, uncompress, args) -> int:
-    """Generic framed/raw block loop shared by the rANS/arith tools."""
+def run_block_tool(compress, uncompress, args, order_byte=None) -> int:
+    """Generic framed/raw block loop shared by the rANS/arith tools.
+
+    order_byte: rANS_static_test.c's framed mode alone prepends a
+    per-block order flag byte (tests/rANS_static_test.c:244,272);
+    pass a callable(block bytes) -> int to reproduce it."""
     inf, outf = stdio(args)
     data = inf.read()
 
@@ -53,7 +57,9 @@ def run_block_tool(compress, uncompress, args) -> int:
             outf.write(uncompress(data, None))
         else:
             pos = 0
-            while pos + 4 <= len(data):
+            skip = 1 if order_byte is not None else 0
+            while pos + 4 + skip <= len(data):
+                pos += skip                      # per-block order flag
                 ln = int.from_bytes(data[pos:pos + 4], "little")
                 pos += 4
                 outf.write(uncompress(data[pos:pos + ln], None))
@@ -63,7 +69,10 @@ def run_block_tool(compress, uncompress, args) -> int:
             outf.write(compress(data))
         else:
             for i in range(0, len(data), args.b):
-                blob = compress(data[i:i + args.b])
+                block = data[i:i + args.b]
+                blob = compress(block)
+                if order_byte is not None:
+                    outf.write(bytes([order_byte(block)]))
                 outf.write(len(blob).to_bytes(4, "little"))
                 outf.write(blob)
     outf.flush()

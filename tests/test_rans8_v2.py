@@ -76,6 +76,30 @@ def test_o1_engine_matches_oracle(n, a, runs):
     assert np.array_equal(dec, blocks)
 
 
+@pytest.mark.parametrize("win", ["fine", "xfine"])
+def test_o1_decode_window_variants(win):
+    """The fine/xfine byte windows must decode identically to coarse."""
+    n, B = 2049, 3
+    blocks = np.stack([mkdata(n, 40, True) for _ in range(B)])
+    res = [rans4x8.build_tables_o1(b) for b in blocks]
+    alpha, packed, _ = rans_v2.densify_builds((r[1], r[2]) for r in res)
+    pay = [core8.enc_o1(blocks[b], res[b][2], res[b][1], 12)
+           for b in range(B)]
+    W = max(len(p) - 16 for p in pay)
+    stream = np.zeros((B, max(W, 1)), np.uint8)
+    X = np.zeros((B, 4), np.uint32)
+    for b, p in enumerate(pay):
+        X[b] = np.frombuffer(p[:16], "<u4")
+        stream[b, :len(p) - 16] = np.frombuffer(p[16:], np.uint8)
+    saved = rans_v2.get_dec_variant()
+    try:
+        rans_v2.set_dec_variant(win=win)
+        dec = rans8_v2.dec_o1_batch(X, stream, n, alpha, packed)
+    finally:
+        rans_v2.set_dec_variant(**saved)
+    assert np.array_equal(dec, blocks)
+
+
 @pytest.mark.parametrize("order", [0, 1])
 def test_batch_api(order):
     blocks = [mkdata(500, 7, True) for _ in range(20)] + [mkdata(501, 7, True)]

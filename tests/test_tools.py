@@ -53,6 +53,21 @@ def test_fqz_cli(dat_dir):
     assert out == expect
 
 
+def test_rans4x8_framed_matches_c_tool(dat_dir, ref_tools):
+    """Framed mode carries the reference tool's per-block order flag
+    byte (tests/rANS_static_test.c:244,272): streams must be
+    byte-identical and cross-decodable both directions."""
+    raw = (dat_dir / "q40+dir").read_bytes()
+    ours = run_tool("rans4x8", ["-o", "1"], raw)
+    c = subprocess.run([str(ref_tools / "rANS_static_test"), "-o", "1"],
+                       input=raw, capture_output=True)
+    assert ours == c.stdout
+    assert run_tool("rans4x8", ["-d"], c.stdout) == raw
+    cdec = subprocess.run([str(ref_tools / "rANS_static_test"), "-d"],
+                          input=ours, capture_output=True)
+    assert cdec.stdout == raw
+
+
 def test_fqz_dump_params(dat_dir):
     """-D dumps the parameter block (dump_params equivalent) without
     changing the emitted stream, on both encode and decode."""
