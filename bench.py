@@ -50,6 +50,11 @@ import numpy as np
 # corpus for xprof/tensorboard.
 PROFILE = os.environ.get("HTSCODECS_TPU_BENCH_PROFILE", "")
 BASELINE_AGG_MBPS = 200.0
+
+# Autotuned variant winners, cached per padded-alphabet bucket so the
+# corpora sharing a regime don't recompile the whole candidate set
+# (compiles dominate the driver's bench budget).
+_TUNE_CACHE: dict = {}
 B = 12288
 G = 8
 N = 65536
@@ -167,13 +172,17 @@ def bench_corpus(name, blocks, check_exact=True):
 
     # ---- autotune the encode row-fetch formulation (byte-exact
     # variants; wide alphabets favour 'take', tiny ones 'onehot') ----
-    enc_rf = "onehot"
-    if A_pad > 8:
-        cand_t = enc_pipeline(seg_cap, "take")     # warm+time 'take'
-        t_oh = enc_pipeline(seg_cap, "onehot")[0]
-        t_tk = enc_pipeline(seg_cap, "take")[0]
-        if min(t_tk, cand_t[0]) < t_oh:
-            enc_rf = "take"
+    if ("enc", A_pad) in _TUNE_CACHE:
+        enc_rf = _TUNE_CACHE[("enc", A_pad)]
+    else:
+        enc_rf = "onehot"
+        if A_pad > 8:
+            cand_t = enc_pipeline(seg_cap, "take")     # warm+time 'take'
+            t_oh = enc_pipeline(seg_cap, "onehot")[0]
+            t_tk = enc_pipeline(seg_cap, "take")[0]
+            if min(t_tk, cand_t[0]) < t_oh:
+                enc_rf = "take"
+        _TUNE_CACHE[("enc", A_pad)] = enc_rf
     t_enc = None
     for _ in range(2):                    # steady state: best of two
         r = enc_pipeline(seg_cap, enc_rf)
@@ -222,18 +231,22 @@ def bench_corpus(name, blocks, check_exact=True):
         return time.time() - t0, out
 
     # ---- autotune the decode formulation (all byte-exact) ----
-    dec_cands = [("onehot", "coarse"), ("onehot", "fine"),
-                 ("onehot", "xfine")]
-    if A_pad > 8:
-        dec_cands += [("take", "coarse"), ("take", "fine"),
-                      ("take", "xfine")]
-    best = None
-    for rf, wn in dec_cands:
-        dec_pipeline(rf, wn)              # warm (compiles)
-        t, _ = dec_pipeline(rf, wn)
-        if best is None or t < best[0]:
-            best = (t, rf, wn)
-    dec_rf, dec_wn = best[1], best[2]
+    if ("dec", A_pad) in _TUNE_CACHE:
+        dec_rf, dec_wn = _TUNE_CACHE[("dec", A_pad)]
+    else:
+        dec_cands = [("onehot", "coarse"), ("onehot", "fine"),
+                     ("onehot", "xfine")]
+        if A_pad > 8:
+            dec_cands += [("take", "coarse"), ("take", "fine"),
+                          ("take", "xfine")]
+        best = None
+        for rf, wn in dec_cands:
+            dec_pipeline(rf, wn)              # warm (compiles)
+            t, _ = dec_pipeline(rf, wn)
+            if best is None or t < best[0]:
+                best = (t, rf, wn)
+        dec_rf, dec_wn = best[1], best[2]
+        _TUNE_CACHE[("dec", A_pad)] = (dec_rf, dec_wn)
 
     _w2, out = dec_pipeline(dec_rf, dec_wn)   # warm winner
     t_dec = None
