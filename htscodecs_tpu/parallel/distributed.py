@@ -66,6 +66,18 @@ def block_mesh(axis_name: str = "b", devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def local_mesh(axis_name: str = "b") -> Mesh:
+    """Mesh over THIS process's devices only: shard_map over it issues
+    no cross-host collectives, so data-dependent group structures
+    (ragged/transform batches) cannot desynchronise processes."""
+    return Mesh(np.asarray(jax.local_devices()), (axis_name,))
+
+
+def _mesh_is_local(mesh: Mesh) -> bool:
+    pi = jax.process_index()
+    return all(d.process_index == pi for d in mesh.devices.flat)
+
+
 def _allgather_max(x: int) -> int:
     """Global max of a host scalar (identity for single-process)."""
     if jax.process_count() == 1:
@@ -81,7 +93,7 @@ def _to_global(local_rows: np.ndarray, mesh: Mesh):
     share (callers pad)."""
     spec = P(mesh.axis_names[0], *([None] * (local_rows.ndim - 1)))
     sharding = NamedSharding(mesh, spec)
-    if jax.process_count() == 1:
+    if jax.process_count() == 1 or _mesh_is_local(mesh):
         return jax.device_put(local_rows, sharding)
     return jax.make_array_from_process_local_data(sharding, local_rows)
 
@@ -168,7 +180,9 @@ def _sharded_bodies_o1(batch: np.ndarray, mesh: Mesh) -> list[bytes] | None:
     garr = _to_global(arr, mesh)
 
     pres, amax_g = _presence_fn(mesh)(garr)
-    amax = _allgather_max(int(np.asarray(amax_g)))
+    amax = int(np.asarray(amax_g))
+    if not _mesh_is_local(mesh):
+        amax = _allgather_max(amax)
     if amax > tables_v2.MAX_DENSE_A:
         return None
     A = rans_v2._round_a(amax)
@@ -217,7 +231,9 @@ def _sharded_bodies_o0(batch: np.ndarray, mesh: Mesh) -> list[bytes] | None:
     garr = _to_global(arr, mesh)
 
     _pres, amax_g = _presence_fn(mesh)(garr)
-    amax = _allgather_max(int(np.asarray(amax_g)))
+    amax = int(np.asarray(amax_g))
+    if not _mesh_is_local(mesh):
+        amax = _allgather_max(amax)
     if amax > tables_v2.MAX_DENSE_A:
         return None
     A = rans_v2._round_a(amax)
@@ -258,9 +274,17 @@ def compress_blocks(blocks, order: int = 1, mesh: Mesh | None = None,
     same-shape entropy group — plain blocks and deferred STRIPE-lane /
     PACK/RLE payload candidates alike — runs one shard_map over the
     mesh (VERDICT r2 item 5).  Streams byte-identical to
-    ``rans4x16.compress``."""
+    ``rans4x16.compress``.
+
+    Multi-process (N>=2 hosts): group structure is data-dependent
+    (RLE/PACK decisions change job shapes), so under jax.distributed
+    the default mesh is THIS process's local devices — cross-host
+    scaling stays pure block data-parallelism with zero coordination,
+    which is the codec's scaling model anyway.  Pass a global mesh
+    explicitly only if every process guarantees the same
+    (length, order) group sequence."""
     if mesh is None:
-        mesh = block_mesh()
+        mesh = block_mesh() if jax.process_count() == 1 else local_mesh()
     from ..models import batch as batchmod
     return batchmod.compress_blocks(blocks, order, engine=engine,
                                     bodies_fn=sharded_bodies_fn(mesh))
@@ -352,9 +376,10 @@ def uncompress_blocks(streams, out_sizes=None, mesh: Mesh | None = None,
     """Sharded decompression of arbitrary rANS 4x16 streams: mixed
     sizes, PACK/RLE/CAT/NOSZ wrappers and STRIPE containers.  The
     host-side peel comes from models.batch; every same-shape entropy
-    group (incl. every stripe lane) decodes in one shard_map."""
+    group (incl. every stripe lane) decodes in one shard_map.  Under
+    jax.distributed the default mesh is local (see compress_blocks)."""
     if mesh is None:
-        mesh = block_mesh()
+        mesh = block_mesh() if jax.process_count() == 1 else local_mesh()
     from ..models import batch as batchmod
     return batchmod.uncompress_blocks(streams, out_sizes, engine=engine,
                                       dec_fn=sharded_dec_fn(mesh))

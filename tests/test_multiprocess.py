@@ -41,6 +41,18 @@ WORKER = textwrap.dedent("""
     back = dist.uncompress_blocks_o1(streams, mesh)
     assert all(back[b] == blocks[b].tobytes()
                for b in range(len(blocks)))
+    # ragged + transform-flagged generalized path: mesh=None picks the
+    # per-process LOCAL mesh under jax.distributed, so the processes
+    # need no matching group structure (lengths differ per pid here)
+    ragged = [(rng.integers(0, 6, n) * 2 + 33).astype(np.uint8)
+              for n in (768, 768, 512 + 128 * pid, 1024)]
+    for order in (1, 193):
+        rs = dist.compress_blocks(ragged, order, engine="device")
+        assert all(rs[b] == rans4x16.compress(ragged[b], order)
+                   for b in range(len(ragged))), order
+        rb = dist.uncompress_blocks(rs, engine="device")
+        assert all(rb[b] == ragged[b].tobytes()
+                   for b in range(len(ragged))), order
     print("RESULT", pid, int(offs[0]), total, flush=True)
 """).replace("@REPO@", str(REPO))
 
