@@ -1217,45 +1217,61 @@ static void rc_decode(rcoder *rc, uint32_t cum, uint32_t freq) {
 
 /* Adaptive model: symbol list approximately sorted by frequency with a
  * one-step bubble per use; +16 per hit, halving normalisation above
- * 65519.  The search order is part of the bitstream contract. */
+ * 65519.  The search order is part of the bitstream contract.
+ *
+ * Interleaved packed entries {cnt u16 | sym u16} in one u32 stream —
+ * the split cnt[]/sym[] arrays made every search walk two lines 516 B
+ * apart.  e[0] is a permanent cnt=65535 sentinel so the move-to-front
+ * swap needs no bound check (cnt never exceeds 65519+16 = 65535, and
+ * the swap condition is strict >); e[nsym+1] is a terminal slot the
+ * encoder overwrites with the searched symbol so the walk needs no
+ * per-iteration bound and stays in-bounds even for symbols absent
+ * from the model (rc->err flags that malformed case). */
 #define AMODEL_MAXSYM 258
+#define AM_CNT(x) ((x) >> 16)
+#define AM_SYM(x) ((x) & 0xFFFFu)
 typedef struct {
     uint32_t tot;
     int nsym;
-    uint16_t cnt[AMODEL_MAXSYM];
-    uint16_t sym[AMODEL_MAXSYM];
+    uint32_t e[AMODEL_MAXSYM + 2];
 } amodel;
 
 static void am_init(amodel *m, int nsym, int max_sym) {
     m->tot = max_sym;
     m->nsym = nsym;
-    for (int i = 0; i < nsym; i++) {
-        m->sym[i] = i;
-        m->cnt[i] = i < max_sym ? 1 : 0;
-    }
+    m->e[0] = 0xFFFF0000u;                 /* sentinel */
+    for (int i = 0; i < nsym; i++)
+        m->e[i + 1] = ((uint32_t)(i < max_sym) << 16) | (uint32_t)i;
+    m->e[nsym + 1] = 0;                    /* terminal */
 }
 
 static void am_renorm(amodel *m) {
     uint32_t tot = 0;
-    for (int i = 0; i < m->nsym && m->cnt[i]; i++) {
-        m->cnt[i] -= m->cnt[i] >> 1;
-        tot += m->cnt[i];
+    for (int i = 1; i <= m->nsym; i++) {
+        uint32_t c = AM_CNT(m->e[i]);
+        if (!c) break;
+        c -= c >> 1;
+        m->e[i] = (c << 16) | AM_SYM(m->e[i]);
+        tot += c;
     }
     m->tot = tot;
 }
 
 static void am_encode(amodel *m, rcoder *rc, int symbol) {
-    uint32_t acc = 0;
-    int p = 0;
-    while (m->sym[p] != symbol) acc += m->cnt[p++];
-    rc_encode(rc, acc, m->cnt[p], m->tot);
-    m->cnt[p] += 16;
+    uint32_t sy = (uint32_t)symbol, acc = 0;
+    uint32_t *s = m->e + 1, *end = m->e + m->nsym + 1;
+    *end = sy;                             /* terminal = search key */
+    while (AM_SYM(*s) != sy) acc += *s++ >> 16;
+    if (s == end) {          /* symbol absent: fail the coder */
+        rc->err = 1;
+        return;
+    }
+    rc_encode(rc, acc, *s >> 16, m->tot);
+    *s += 16u << 16;
     m->tot += 16;
     if (m->tot > 65519) am_renorm(m);
-    if (p && m->cnt[p] > m->cnt[p - 1]) {
-        uint16_t ts = m->sym[p], tc = m->cnt[p];
-        m->sym[p] = m->sym[p - 1]; m->cnt[p] = m->cnt[p - 1];
-        m->sym[p - 1] = ts; m->cnt[p - 1] = tc;
+    if ((*s >> 16) > (s[-1] >> 16)) {      /* e[0] sentinel guards */
+        uint32_t t = s[0]; s[0] = s[-1]; s[-1] = t;
     }
 }
 
@@ -1264,9 +1280,10 @@ static int am_decode(amodel *m, rcoder *rc) {
      * reference condition acc+c > f (RC_GetFreq + SIMPLE_MODEL
      * decodeSymbol) is exactly (acc+c)*r > code for integer acc+c.
      * This removes the code/r divide from the serial chain; range/tot
-     * goes through the rc_div16 magic table. */
+     * goes through the rc_div16 magic table.  Entries are 1-based
+     * (e[0] is the sentinel). */
     uint32_t tot = m->tot, acc = 0, c;
-    int p = 0;
+    int p = 1, n = m->nsym;
     if (tot && rc->range >= tot) {
         uint32_t r = tot < 65536 ? rc_div16(rc->range, tot)
                                  : rc->range / tot;
@@ -1274,30 +1291,28 @@ static int am_decode(amodel *m, rcoder *rc) {
         rc->range = r;
         if (code >= 65520ull * r) return 0;        /* f > 65519 */
         for (;;) {
-            c = p < m->nsym ? m->cnt[p] : (p == m->nsym ? 0 : 65519u);
+            c = p <= n ? AM_CNT(m->e[p]) : (p == n + 1 ? 0 : 65519u);
             if ((uint64_t)(acc + c) * r > code) break;
             acc += c;
-            if (++p > m->nsym + 1) return 0;
+            if (++p > n + 2) return 0;
         }
     } else {
         /* malformed stream: rc_get_freq would return f=0 and leave
          * range undivided; replicate that path bit for bit. */
         for (;;) {
-            c = p < m->nsym ? m->cnt[p] : (p == m->nsym ? 0 : 65519u);
+            c = p <= n ? AM_CNT(m->e[p]) : (p == n + 1 ? 0 : 65519u);
             if (acc + c > 0) break;
-            if (++p > m->nsym + 1) return 0;
+            if (++p > n + 2) return 0;
         }
     }
-    if (p > m->nsym) return 0;
-    int symbol = m->sym[p];
-    rc_decode(rc, acc, m->cnt[p]);
-    m->cnt[p] += 16;
+    if (p > n + 1) return 0;
+    int symbol = (int)AM_SYM(m->e[p]);
+    rc_decode(rc, acc, c);
+    m->e[p] += 16u << 16;
     m->tot += 16;
     if (m->tot > 65519) am_renorm(m);
-    if (p && m->cnt[p] > m->cnt[p - 1]) {
-        uint16_t ts = m->sym[p], tc = m->cnt[p];
-        m->sym[p] = m->sym[p - 1]; m->cnt[p] = m->cnt[p - 1];
-        m->sym[p - 1] = ts; m->cnt[p - 1] = tc;
+    if (AM_CNT(m->e[p]) > AM_CNT(m->e[p - 1])) {
+        uint32_t t = m->e[p]; m->e[p] = m->e[p - 1]; m->e[p - 1] = t;
     }
     return symbol;
 }
