@@ -10,6 +10,12 @@ BLK = 1024 * 1024
 
 
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    # reference tool style: a bare -<digits> flag IS the level
+    # (tests/tokenise_name3_test.c:99-100, tok3.test drives `-$i`)
+    argv = sum((["-N", a[1:]] if a[:1] == "-" and a[1:].isdigit()
+                else [a] for a in argv), [])
     ap = argparse.ArgumentParser(prog="tok3")
     ap.add_argument("-d", action="store_true")
     ap.add_argument("-r", action="store_true")
