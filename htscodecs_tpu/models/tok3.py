@@ -388,12 +388,24 @@ def _peek_ulen(buf, pos: int, end: int) -> int:
 # Public API
 
 def encode_names(blk: bytes, level: int = 9, use_arith: bool = False,
-                 return_last_start: bool = False):
+                 return_last_start: bool = False,
+                 engine: str | None = None):
     """Compress a block of \\n or \\0 separated read names.
 
     Only whole (terminated) names are encoded; the offset of the first
     unterminated byte is returned when ``return_last_start`` is set.
+
+    engine: "host" (default) compresses descriptors with the native
+    scalar coders; "auto"/"device" defers every (descriptor,
+    candidate-method) entropy payload into models.batch's shared
+    device groups — the encode twin of the batched descriptor decode.
+    Streams are byte-identical either way; the default favours the
+    host because descriptor groups are small and the device path only
+    wins with a locally attached accelerator (override with
+    HTSCODECS_TPU_TOK3_ENC_ENGINE).
     """
+    if engine is None:
+        engine = _os.environ.get("HTSCODECS_TPU_TOK3_ENC_ENGINE", "host")
     blk = bytes(blk)
     length = len(blk)
 
@@ -442,19 +454,55 @@ def encode_names(blk: bytes, level: int = 9, use_arith: bool = False,
             if any(ctx.desc.get(tid + k) for k in range(1, 16)):
                 del ctx.desc[tid]
 
-    # Compress descriptors and find dups.
+    # Compress descriptors and find dups.  For the rANS backend every
+    # (descriptor, candidate-method) pair defers its entropy payload
+    # into models.batch's shared device groups — the encode-side twin
+    # of the batched descriptor decode below (up to 2048 streams x
+    # |rmethods| candidates per name block); the arith backend keeps
+    # the host loop (adaptive scans favour a host core per stream).
     comp: dict[int, bytes] = {}
     dup_from: dict[int, int] = {}
     order = [i for i in range(ctx.max_tok * 16) if ctx.desc.get(i)]
+    if not use_arith and order and engine != "host":
+        from . import batch as batchmod
+        lvl = max(0, min(4, (level - 1) // 2))
+        jobs: list = []
+        cands: dict[int, list] = {}
+        for i in order:
+            data = np.frombuffer(bytes(ctx.desc[i]), np.uint8)
+            lst = []
+            for m in RMETHODS[lvl]:
+                if len(data) % 4 != 0 and (m & 8):
+                    continue
+                try:
+                    lst.append((m, batchmod._peel_encode(data, m, jobs)))
+                except ValueError:
+                    lst.append((m, ("done", ransmod.compress(data, m))))
+            cands[i] = lst
+        res = batchmod._encode_entropy_jobs(jobs, engine) if jobs else {}
+        for i in order:
+            data = None
+            best = None
+            for m, cand in cands[i]:
+                s = batchmod._finish(cand, res)
+                if s is None:                    # entropy group declined
+                    if data is None:
+                        data = np.frombuffer(bytes(ctx.desc[i]), np.uint8)
+                    s = ransmod.compress(data, m)
+                if best is None or len(s) < len(best):
+                    best = s
+            head = bytearray()
+            varint.put_uint(head, len(best))
+            comp[i] = bytes(head) + best
     for i in order:
-        blob = _compress_desc(bytes(ctx.desc[i]), level, use_arith)
-        comp[i] = blob
+        if i not in comp:
+            comp[i] = _compress_desc(bytes(ctx.desc[i]), level, use_arith)
+    for i in order:
+        blob = comp[i]
         df = 0
         for j in order:
             if j >= i:
                 break
-            if j not in comp:
-                continue
             if len(blob) != len(comp[j]) or len(blob) <= 4:
                 continue
             if blob == comp[j]:

@@ -87,3 +87,20 @@ def test_many_identical_names_dup_path():
     blk = b"".join(b"dupname:77\n" for _ in range(500))
     blob = tok3.encode_names(blk, 9, False)
     assert tok3.decode_names(blob) == blk.replace(b"\n", b"\x00")
+
+
+def test_encode_engine_device_byte_identical():
+    """The deferred/batched descriptor-encode path (engine="device")
+    must emit the same stream as the host path at every level class."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    xs = rng.integers(1000, 30000, 4000)
+    ys = rng.integers(1000, 30000, 4000)
+    names = "\n".join(f"HSQ1004:134:C0D8DACXX:1:1101:{x}:{y}"
+                       for x, y in zip(xs, ys)).encode() + b"\n"
+    from htscodecs_tpu.models import tok3
+    for lvl in (1, 5, 9):
+        a = tok3.encode_names(names, level=lvl, engine="host")
+        b = tok3.encode_names(names, level=lvl, engine="device")
+        assert a == b, lvl
+        assert tok3.decode_names(b) == names.replace(b"\n", b"\x00")
