@@ -274,17 +274,27 @@ def bench_corpus(name, blocks, check_exact=True):
     # ---- verify ----
     mism = int(np.asarray(jnp.sum(out != jb)))
     byte_exact = True
+    exact_checked = False
     if check_exact:
-        chk = int(np.flatnonzero(flag == 0)[0])
-        blk_words = np.asarray(
-            w_d[chk, :counts_all[chk]]).astype("<u2").tobytes()
-        blk_states = np.asarray(st_d[chk]).astype("<u4").tobytes()
-        ref = rans4x16.compress(blocks[chk], 1)
-        if ref[0] == 1:                   # tiny blocks may CAT out
+        # sample unflagged blocks until one yields a plain order-1
+        # reference stream (tiny blocks can CAT out); never report
+        # byte_exact for a corpus where nothing was actually compared
+        for chk in np.flatnonzero(flag == 0)[:8]:
+            chk = int(chk)
+            ref = rans4x16.compress(blocks[chk], 1)
+            if ref[0] != 1:
+                continue
+            blk_words = np.asarray(
+                w_d[chk, :counts_all[chk]]).astype("<u2").tobytes()
+            blk_states = np.asarray(st_d[chk]).astype("<u4").tobytes()
             osz, pos = varint.get_uint(ref, 1, len(ref))
             off, *_t = native.parse_tables_o1(ref[pos:])
             byte_exact = (ref[pos + off:] == blk_states + blk_words
                           and hdrs[chk] == ref[pos:pos + off])
+            exact_checked = True
+            break
+        if not exact_checked:
+            byte_exact = False
 
     return {
         "corpus": name,
@@ -296,6 +306,7 @@ def bench_corpus(name, blocks, check_exact=True):
         "shifts": sorted(int(v) for v in np.unique(shifts)),
         "band_flags": nflag, "mismatches": mism,
         "byte_exact": bool(byte_exact),
+        "exact_checked": bool(exact_checked) if check_exact else None,
         "variants": {"enc": enc_rf, "dec": f"{dec_rf}/{dec_wn}"},
     }
 

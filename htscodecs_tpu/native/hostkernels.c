@@ -2242,6 +2242,15 @@ API int64_t tok3_tokenize(const uint8_t *blk, const int64_t *starts,
                           const int64_t *lens, int64_t nreads,
                           uint8_t *arena, int64_t arena_cap,
                           int64_t *dlens, int32_t *max_tok_out) {
+    /* the paths buffer below indexes by starts[n]+k: require at least
+     * one name and an ascending, non-overlapping layout whose last
+     * name ends last (models/tok3.py always satisfies this; reject
+     * anything else rather than read/write out of bounds) */
+    if (nreads < 1) return -1;
+    for (int64_t n = 0; n < nreads; n++) {
+        if (starts[n] < 0 || lens[n] < 0) return -1;
+        if (n && starts[n] < starts[n - 1] + lens[n - 1]) return -1;
+    }
     tok3ctx *cx = calloc(1, sizeof(tok3ctx));
     if (!cx) return -1;
     cx->max_tok = 1;

@@ -162,7 +162,7 @@ def _enc_scan8(blocks, alpha, packed, order: int,
 
 
 def _enc8(blocks, alpha, packed, order: int):
-    rf = rans_v2._ENC_VARIANT["row_fetch"]
+    rf = rans_v2._ENC_VARIANT["row_fetch"] if order == 1 else "onehot"
     xf, out, n, ovf = _enc_scan8(blocks, alpha, packed, order,
                                  row_fetch=rf)
     if bool(np.asarray(ovf)):

@@ -273,35 +273,6 @@ def _undensify(sym, alpha):
                    axis=-1).astype(jnp.uint8)
 
 
-def _row_fetch(packed, ctx):
-    """Fetch per-lane context rows from (B, A, A) packed tables.
-
-    ctx: (B, 4) dense indices -> rows (B, 4, A) i32, as a pure-VPU
-    masked reduction (no gather, no matmul)."""
-    A = packed.shape[1]
-    iota = jnp.arange(A, dtype=jnp.int32)
-    oh = ctx[:, :, None] == iota                              # (B,4,A)
-    return jnp.sum(
-        jnp.where(oh[:, :, :, None], packed[:, None, :, :], 0), axis=2)
-
-
-def _col_pick(row, idx):
-    """row (B,4,A), idx (B,4) -> row[..., idx] via compare-sum."""
-    A = row.shape[2]
-    iota = jnp.arange(A, dtype=jnp.int32)
-    oh = idx[:, :, None] == iota
-    return jnp.sum(jnp.where(oh, row, 0), axis=2)
-
-
-def _win_pick(win, off):
-    """win (B, 2*CHUNK) u32, off (B,4) i32 -> selected words (B,4) u32."""
-    W = win.shape[1]
-    iota = jnp.arange(W, dtype=jnp.int32)
-    oh = off[:, :, None] == iota
-    return jnp.sum(jnp.where(oh, win[:, None, :], jnp.uint32(0)),
-                   axis=2, dtype=jnp.uint32)
-
-
 # ---------------------------------------------------------------------------
 # Decode
 
@@ -728,10 +699,13 @@ def _enc_scan_v2_pb(blocks, alpha, packed, shiftv, order: int,
 def _enc_with_fallback(blocks, alpha, packed, shift: int, order: int):
     """Run the fast two-level compaction; escalate through the cap-64
     tier and then the exact single-sort path on (rare) overflow."""
+    # the take row fetch only exists for order 1: forwarding it into
+    # order-0 encodes would recompile a byte-identical kernel
+    rf = _ENC_VARIANT["row_fetch"] if order == 1 else "onehot"
     for cap in (SEG_CAP, SEG_CAP2, SEG):
         xf, words, n, ovf = _enc_scan_v2(blocks, alpha, packed, shift,
                                          order, seg_cap=cap,
-                                         **_ENC_VARIANT)
+                                         row_fetch=rf)
         if not bool(np.asarray(ovf)):
             break
     return xf, words, n

@@ -322,9 +322,12 @@ def _decode_fn(mesh: Mesh, K: int, q: int, N: int, cap: int,
             words.astype(jnp.uint32))
         chunks = padded.reshape(Bb * (cap // rans_v2.CHUNK),
                                 rans_v2.CHUNK)
+        var = rans_v2.get_dec_variant()
+        if order != 1:
+            var["row_fetch"] = "onehot"    # take is order-1 only
         return rans_v2._dec_v2_to_bytes_pb(
             states, chunks, packed, alpha, shiftv, K, q, N, order,
-            **rans_v2.get_dec_variant())
+            **var)
 
     return jax.shard_map(
         local, mesh=mesh,
