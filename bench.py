@@ -234,11 +234,18 @@ def bench_corpus(name, blocks, check_exact=True):
     if ("dec", A_pad) in _TUNE_CACHE:
         dec_rf, dec_wn = _TUNE_CACHE[("dec", A_pad)]
     else:
-        dec_cands = [("onehot", "coarse"), ("onehot", "fine"),
-                     ("onehot", "xfine")]
+        # keep the candidate set tight: each candidate costs a cold
+        # XLA compile on the driver's clock.  (onehot,coarse) is the
+        # round-2 shipping formulation (safety baseline); the fine
+        # windows attack the select wall at small A, and take attacks
+        # the O(A^2) row fetch at wide A (microbench-backed, PERF_NOTES
+        # round 3) — take+coarse / onehot+fine hybrids are dominated.
         if A_pad > 8:
-            dec_cands += [("take", "coarse"), ("take", "fine"),
-                          ("take", "xfine")]
+            dec_cands = [("onehot", "coarse"), ("take", "fine"),
+                         ("take", "xfine")]
+        else:
+            dec_cands = [("onehot", "coarse"), ("onehot", "fine"),
+                         ("onehot", "xfine")]
         best = None
         for rf, wn in dec_cands:
             dec_pipeline(rf, wn)              # warm (compiles)
@@ -418,6 +425,9 @@ def main():
     if DAT.exists():
         corpora.append(("q8", tile_file(DAT / "q8", B, N)))
         corpora.append(("q40dir", tile_file(DAT / "q40+dir", B, N)))
+    # small-batch regime (r2: latency-bound ~16 MB/s at B=512): the
+    # variant winners are reused from the big corpora's tune cache
+    corpora.append(("synth4_B512", np.tile(uniq, (512 // G, 1))))
 
     rows = []
     for name, blocks in corpora:
