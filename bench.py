@@ -411,11 +411,40 @@ def bench_fqz_tok3():
     return rows
 
 
+def _device_alive(timeout_s: float = 240.0) -> bool:
+    """First device touch through a dead axon tunnel hangs forever;
+    probe it on a daemon thread so a broken link fast-fails with an
+    explicit record instead of stalling the driver."""
+    import threading
+    ok: list = []
+
+    def probe():
+        try:
+            import jax
+            ok.append(len(jax.devices()) > 0)
+        except Exception:
+            ok.append(False)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok) and ok[0]
+
+
 def main():
     t_setup = time.time()
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_comp_cache_tpu")
+    if not _device_alive():
+        print(json.dumps({"error": "device backend unreachable "
+                          "(axon tunnel down?)"}), file=sys.stderr)
+        print(json.dumps({
+            "metric": "rans4x16_o1_enc_dec_aggregate",
+            "value": 0.0, "unit": "MB/s", "vs_baseline": 0.0,
+            "error": "device backend unreachable",
+        }))
+        return 1
 
     uniq = synth_quality(G, N)
     corpora = [
