@@ -55,9 +55,12 @@ BASELINE_AGG_MBPS = 200.0
 # corpora sharing a regime don't recompile the whole candidate set
 # (compiles dominate the driver's bench budget).
 _TUNE_CACHE: dict = {}
-B = 12288
+# HTSCODECS_TPU_BENCH_QUICK=1: tiny shapes for a full-path dress
+# rehearsal (CPU-friendly); numbers are meaningless, plumbing is real.
+QUICK = os.environ.get("HTSCODECS_TPU_BENCH_QUICK", "") == "1"
+B = 256 if QUICK else 12288
 G = 8
-N = 65536
+N = 2048 if QUICK else 65536
 REPS = 3
 DAT = pathlib.Path("/root/reference/tests/dat")
 
@@ -326,7 +329,7 @@ def bench_fqz_tok3():
     qf = DAT / "q40+dir"
     if qf.exists():
         from htscodecs_tpu.models import fqz
-        raw = qf.read_bytes() * 20
+        raw = qf.read_bytes() * (2 if QUICK else 20)
         # parse like the reference tool: qual column ASCII-33 shifted,
         # optional read2 flag column (feeding raw lines would widen the
         # alphabet past 64 and measure the wrong model path)
@@ -362,7 +365,7 @@ def bench_fqz_tok3():
         })
     if qf.exists():
         from htscodecs_tpu.models import arith
-        data = (qf.read_bytes() * 20)[:2000000]
+        data = (qf.read_bytes() * (2 if QUICK else 20))[:2000000]
         arr = np.frombuffer(data, np.uint8)
         comp = arith.compress(arr, 1)
         te = td = 1e9
@@ -384,9 +387,10 @@ def bench_fqz_tok3():
         })
     from htscodecs_tpu.models import tok3
     rng = np.random.default_rng(0)
-    xs = rng.integers(1000, 30000, 100000)
-    ys = rng.integers(1000, 30000, 100000)
-    tl = rng.integers(1101, 2316, 100000)
+    nn = 5000 if QUICK else 100000
+    xs = rng.integers(1000, 30000, nn)
+    ys = rng.integers(1000, 30000, nn)
+    tl = rng.integers(1101, 2316, nn)
     names = "\n".join(
         f"D00360:95:H2YWMBCXX:1:{t}:{x}:{y}"
         for t, x, y in zip(tl, xs, ys)).encode() + b"\n"
@@ -456,7 +460,7 @@ def main():
         corpora.append(("q40dir", tile_file(DAT / "q40+dir", B, N)))
     # small-batch regime (r2: latency-bound ~16 MB/s at B=512): the
     # variant winners are reused from the big corpora's tune cache
-    corpora.append(("synth4_B512", np.tile(uniq, (512 // G, 1))))
+    corpora.append(("synth4_B512", np.tile(uniq, (min(512, B) // G, 1))))
 
     rows = []
     for name, blocks in corpora:
