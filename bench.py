@@ -245,10 +245,10 @@ def bench_corpus(name, blocks, check_exact=True):
         # round 3) — take+coarse / onehot+fine hybrids are dominated.
         if A_pad > 8:
             dec_cands = [("onehot", "coarse"), ("take", "fine"),
-                         ("take", "xfine")]
+                         ("take", "xfine"), ("take", "fine4")]
         else:
             dec_cands = [("onehot", "coarse"), ("onehot", "fine"),
-                         ("onehot", "xfine")]
+                         ("onehot", "xfine"), ("onehot", "fine4")]
         best = None
         for rf, wn in dec_cands:
             dec_pipeline(rf, wn)              # warm (compiles)

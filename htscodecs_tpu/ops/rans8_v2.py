@@ -206,7 +206,9 @@ def _dec_scan8(X0, chunks, packed, K: int, q: int, order: int,
     A = packed.shape[1]
     take_rows = row_fetch == "take" and order == 1
     if win in rans_v2._WIN_PARAMS:
-        W, NROWS, R = rans_v2._WIN_PARAMS[win]
+        # byte engine consumes <= 8/step (no unroll): ignore the DU
+        # member, the window bounds stay safe for every variant
+        W, NROWS, R, _DU = rans_v2._WIN_PARAMS[win]
     else:
         W, R = 2 * CHUNK, R8
     KO = -(-K // R)

@@ -91,11 +91,14 @@ _DEC_VARIANT = {
 }
 
 FINE_CW = 16          # words per fine chunk row (CHUNK must divide)
-# window width, refill rows, inner steps per refill; consumption bound
-# per refill = (FINE_CW-1) + 4*DEC_U*R < W
+# window width, refill rows, inner steps per refill, symbols per inner
+# step; consumption bound per refill = (FINE_CW-1) + 4*DU*R < W
 _WIN_PARAMS = {
-    "fine": (64, 4, 6),          # 15 + 8*6 = 63 < 64
-    "xfine": (32, 2, 2),         # 15 + 8*2 = 31 < 32
+    "fine": (64, 4, 6, 2),       # 15 + 8*6 = 63 < 64
+    "xfine": (32, 2, 2, 2),      # 15 + 8*2 = 31 < 32
+    "fine4": (64, 4, 3, 4),      # 15 + 16*3 = 63 < 64: with the small
+                                 # select, deeper unroll amortises the
+                                 # remaining per-step scan overhead
 }
 
 
@@ -305,10 +308,10 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
     A = packed.shape[1]
     take_rows = row_fetch == "take" and order == 1
     if win in _WIN_PARAMS:
-        W, _NROWS, R = _WIN_PARAMS[win]
+        W, _NROWS, R, DU = _WIN_PARAMS[win]
     else:
-        W, R = 2 * CHUNK, DEC_R
-    PER = R * DEC_U
+        W, R, DU = 2 * CHUNK, DEC_R, DEC_U
+    PER = R * DU
     KO = -(-K // PER)
     if take_rows:
         tbl = packed.reshape(B * A, A)                      # row = b*A+ctx
@@ -409,12 +412,12 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
         def inner_step(carry, s0):
             X, p, ctx = carry
             outs = []
-            for u in range(DEC_U):
+            for u in range(DU):
                 X, p, ctx, symd = one(X, p, ctx, s0 + u, winT, base)
                 outs.append(symd)
             return (X, p, ctx), jnp.stack(outs, axis=0)   # (DU,4,B)
 
-        steps = ko * PER + jnp.arange(R) * DEC_U
+        steps = ko * PER + jnp.arange(R) * DU
         (X, p, ctx), syms = lax.scan(
             inner_step, (X, p, ctx), steps)
         return (X, p, ctx), syms                       # (R, DU, 4, B)

@@ -206,7 +206,7 @@ def test_dense_native_matches_sparse():
 
 
 @pytest.mark.parametrize("row_fetch", ["onehot", "take"])
-@pytest.mark.parametrize("win", ["coarse", "fine", "xfine"])
+@pytest.mark.parametrize("win", ["coarse", "fine", "xfine", "fine4"])
 @pytest.mark.parametrize("a", [3, 44])
 def test_decode_variants_byte_exact(row_fetch, win, a):
     """Every (row_fetch, win) decode formulation must produce
