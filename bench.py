@@ -240,12 +240,13 @@ def bench_corpus(name, blocks, check_exact=True):
         # keep the candidate set tight: each candidate costs a cold
         # XLA compile on the driver's clock.  (onehot,coarse) is the
         # round-2 shipping formulation (safety baseline); the fine
-        # windows attack the select wall at small A, and take attacks
-        # the O(A^2) row fetch at wide A (microbench-backed, PERF_NOTES
-        # round 3) — take+coarse / onehot+fine hybrids are dominated.
+        # windows attack the select wall at small A.  At wide A the
+        # full real-chip sweep (docs/ubench_q40_variants_r3.py, A=48)
+        # measured onehot/coarse 270 MB/s vs take 19-67, fma/fma2
+        # 120-235, and fine windows 124-163 (their 4-row refill takes
+        # dominate) — so the wide set is onehot x {coarse, fine4}.
         if A_pad > 8:
-            dec_cands = [("onehot", "coarse"), ("take", "fine"),
-                         ("take", "xfine"), ("take", "fine4")]
+            dec_cands = [("onehot", "coarse"), ("onehot", "fine4")]
         else:
             dec_cands = [("onehot", "coarse"), ("onehot", "fine"),
                          ("onehot", "xfine"), ("onehot", "fine4")]
@@ -253,6 +254,9 @@ def bench_corpus(name, blocks, check_exact=True):
         for rf, wn in dec_cands:
             dec_pipeline(rf, wn)              # warm (compiles)
             t, _ = dec_pipeline(rf, wn)
+            print(json.dumps({"tune": f"{name}:dec", "variant": f"{rf}/{wn}",
+                              "t_s": round(t, 3)}), file=sys.stderr,
+                  flush=True)
             if best is None or t < best[0]:
                 best = (t, rf, wn)
         dec_rf, dec_wn = best[1], best[2]

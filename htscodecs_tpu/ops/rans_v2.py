@@ -74,6 +74,24 @@ PACK_MASK = (1 << PACK_SHIFT) - 1
 #            the q40-class wall (VERDICT r2 item 1).
 #            'take'   — jnp.take of the 4B per-lane context rows from
 #            a (B*A, A) table, then an A-minor resolve: ~A*4*B work.
+#            (Measured 4-20x SLOWER than onehot on the real chip: in-
+#            scan gathers scalarise; kept as a test oracle only.)
+#            'fma'    — same one-hot contraction but as a single f32
+#            multiply-accumulate chain over the packed table (1 VPU op
+#            per table entry vs select+add's 2) with a +2^26 sentinel
+#            on invalid entries so the slot compare runs directly on
+#            packed values.  Bit-exact ONLY when every block's shift
+#            is <= 10: packed = base<<13|f < 2^23 then, which f32
+#            represents exactly.  Callers gate on the batch's shifts.
+#            'fma2'   — two f32 chains (bases, freqs), each value
+#            < 2^13 so exact at ANY shift; 2 ops per entry but still
+#            ahead of int select+add's intermediate conversions.
+#            (Real-chip q40 sweep, A=48 B=12288: fma 234.8 / fma2
+#            120.1 MB/s decode vs onehot 270.0 — the op-count savings
+#            don't materialise because the step is bound by re-READING
+#            the (A,A,B) table from HBM, and the f32 mirrors are the
+#            same 4 bytes/entry.  Kept as test oracles; the bandwidth
+#            fix is 'b16' below.)
 # win:       'coarse' — (256,B) renorm window refilled every 30 syms
 #            (the r2 engine).  The in-step 256-wide select measures
 #            ~22 us/sym — nearly the whole A<=8 decode floor.
@@ -307,16 +325,35 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
         mask = (jnp.uint32(1) << shr) - 1
     A = packed.shape[1]
     take_rows = row_fetch == "take" and order == 1
+    fma_rows = row_fetch in ("fma", "fma2") and order == 1
     if win in _WIN_PARAMS:
         W, _NROWS, R, DU = _WIN_PARAMS[win]
     else:
         W, R, DU = 2 * CHUNK, DEC_R, DEC_U
     PER = R * DU
     KO = -(-K // PER)
+    pfT = bfT = ffT = None
     if take_rows:
         tbl = packed.reshape(B * A, A)                      # row = b*A+ctx
         brangeA = (jnp.arange(B, dtype=jnp.int32) * A)[None, :]
         iota_r = jnp.arange(A, dtype=jnp.int32)             # (A,) minor
+        packedT = None
+    elif fma_rows:
+        # f32 mirror(s) of the packed table with a large sentinel on
+        # invalid (freq==0) entries: the sentinel never satisfies the
+        # slot compare, so holes in a context row are skipped exactly
+        # like the int path's (rf > 0) mask.
+        invalid = (packed & PACK_MASK) == 0
+        sent = jnp.float32(1 << 26)
+        if row_fetch == "fma":
+            pf = jnp.where(invalid, sent, packed.astype(jnp.float32))
+            pfT = jnp.transpose(pf, (1, 2, 0))              # (A,A,B)
+        else:
+            bf = jnp.where(invalid, sent,
+                           (packed >> PACK_SHIFT).astype(jnp.float32))
+            ff = (packed & PACK_MASK).astype(jnp.float32)
+            bfT = jnp.transpose(bf, (1, 2, 0))
+            ffT = jnp.transpose(ff, (1, 2, 0))
         packedT = None
     elif order == 1:
         packedT = jnp.transpose(packed, (1, 2, 0))          # (A,A,B)
@@ -348,6 +385,37 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
                         axis=2).astype(jnp.uint32)
             f = jnp.sum(jnp.where(ohs & (rf > 0), rf, 0),
                         axis=2).astype(jnp.uint32)
+        elif fma_rows:
+            # one-hot contraction as an f32 FMA chain: 1 VPU op per
+            # table entry (the int path pays a select AND an add).
+            # All values stay in f32-exact integer range (see the
+            # variant notes above), so this is bit-identical.
+            ohcf = (ctx[None, :, :] == iota_a).astype(jnp.float32)
+            if pfT is not None:
+                rowf = jnp.sum(ohcf[:, None, :, :] * pfT[:, :, None, :],
+                               axis=0)                      # (A,4,B) f32
+                # base <= m  <=>  packed < (m+1)<<13 (f fits 13 bits);
+                # the sentinel (2^26) always fails the compare.
+                thr = ((m + 1) << PACK_SHIFT).astype(jnp.float32)
+                ok = rowf < thr[None]                       # (A,4,B)
+                symd = jnp.max(jnp.where(ok, iota_a, 0), axis=0)
+                ohs = symd[None, :, :] == iota_a
+                picked = jnp.sum(jnp.where(ohs, rowf, jnp.float32(0)),
+                                 axis=0).astype(jnp.int32)  # (4,B)
+                b = (picked >> PACK_SHIFT).astype(jnp.uint32)
+                f = (picked & PACK_MASK).astype(jnp.uint32)
+            else:
+                rowb = jnp.sum(ohcf[:, None, :, :] * bfT[:, :, None, :],
+                               axis=0)                      # (A,4,B) f32
+                rowq = jnp.sum(ohcf[:, None, :, :] * ffT[:, :, None, :],
+                               axis=0)
+                ok = rowb <= m.astype(jnp.float32)[None]
+                symd = jnp.max(jnp.where(ok, iota_a, 0), axis=0)
+                ohs = symd[None, :, :] == iota_a
+                b = jnp.sum(jnp.where(ohs, rowb, jnp.float32(0)),
+                            axis=0).astype(jnp.uint32)
+                f = jnp.sum(jnp.where(ohs, rowq, jnp.float32(0)),
+                            axis=0).astype(jnp.uint32)
         else:
             if order == 1:
                 ohc = ctx[None, :, :] == iota_a             # (A,4,B)
@@ -563,10 +631,25 @@ def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
     A = packed.shape[1]
     dense = _densify(blocks, alpha)                           # (B,N) i32
     take_rows = row_fetch == "take" and order == 1
+    fma_rows = row_fetch in ("fma", "fma2") and order == 1
+    pfT = bfT = ffT = None
     if take_rows:
         tbl = packed.reshape(B * A, A)                        # row = b*A+ctx
         brangeA = (jnp.arange(B, dtype=jnp.int32) * A)[None, :]
         iota_r = jnp.arange(A, dtype=jnp.int32)               # (A,) minor
+        packedT = None
+    elif fma_rows:
+        # f32 FMA fetch (see the decode-side variant notes): the
+        # encoder picks only real (freq>0) entries via the symbol
+        # one-hot, so no sentinel is needed here.  'fma' single chain
+        # is exact when every block's shift <= 10; 'fma2' always.
+        if row_fetch == "fma":
+            pfT = jnp.transpose(packed.astype(jnp.float32), (1, 2, 0))
+        else:
+            bfT = jnp.transpose(
+                (packed >> PACK_SHIFT).astype(jnp.float32), (1, 2, 0))
+            ffT = jnp.transpose(
+                (packed & PACK_MASK).astype(jnp.float32), (1, 2, 0))
         packedT = None
     elif order == 1:
         packedT = jnp.transpose(packed, (1, 2, 0))            # (A,A,B)
@@ -648,6 +731,24 @@ def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
                            mode='clip').reshape(4, B, A)
             ohs = sym[:, :, None] == iota_r                # (4,B,A)
             val = jnp.sum(jnp.where(ohs, row, 0), axis=2)  # (4,B)
+        elif fma_rows:
+            ohcf = (ctx[None, :, :] == iota_a).astype(jnp.float32)
+            ohs = sym[None, :, :] == iota_a
+            if pfT is not None:
+                rowf = jnp.sum(ohcf[:, None, :, :] * pfT[:, :, None, :],
+                               axis=0)                     # (A,4,B) f32
+                val = jnp.sum(jnp.where(ohs, rowf, jnp.float32(0)),
+                              axis=0).astype(jnp.int32)    # (4,B)
+            else:
+                rowb = jnp.sum(ohcf[:, None, :, :] * bfT[:, :, None, :],
+                               axis=0)
+                rowq = jnp.sum(ohcf[:, None, :, :] * ffT[:, :, None, :],
+                               axis=0)
+                sval = jnp.sum(jnp.where(ohs, rowb, jnp.float32(0)),
+                               axis=0).astype(jnp.int32)
+                fval = jnp.sum(jnp.where(ohs, rowq, jnp.float32(0)),
+                               axis=0).astype(jnp.int32)
+                val = (sval << PACK_SHIFT) | fval
         else:
             if order == 1:
                 ohc = ctx[None, :, :] == iota_a            # (A,4,B)

@@ -205,7 +205,7 @@ def test_dense_native_matches_sparse():
         assert np.array_equal(p4[np.ix_(idx, idx)], p3)
 
 
-@pytest.mark.parametrize("row_fetch", ["onehot", "take"])
+@pytest.mark.parametrize("row_fetch", ["onehot", "take", "fma", "fma2"])
 @pytest.mark.parametrize("win", ["coarse", "fine", "xfine", "fine4"])
 @pytest.mark.parametrize("a", [3, 44])
 def test_decode_variants_byte_exact(row_fetch, win, a):
@@ -224,6 +224,8 @@ def test_decode_variants_byte_exact(row_fetch, win, a):
     shift = parsed[0][4]
     if any(p[4] != shift for p in parsed):
         pytest.skip("mixed shifts")
+    if row_fetch == "fma" and shift > 10:
+        pytest.skip("fma single-chain requires shift <= 10")
     Wmax = max((len(s) - o - 16) // 2 for s, o, *_ in parsed)
     X = np.zeros((B, 4), np.uint32)
     wbuf = np.zeros((B, max(Wmax, 1)), "<u2")
@@ -243,14 +245,18 @@ def test_decode_variants_byte_exact(row_fetch, win, a):
     assert np.array_equal(dec, blocks)
 
 
+@pytest.mark.parametrize("row_fetch", ["take", "fma", "fma2"])
 @pytest.mark.parametrize("a", [3, 44])
-def test_encode_take_variant_byte_exact(a):
-    """The take-based encode row fetch must emit the identical stream."""
+def test_encode_variant_byte_exact(row_fetch, a):
+    """Every alternative encode row fetch must emit the identical
+    stream as the onehot baseline."""
     n, B = 2049, 4
     blocks = np.stack([mkdata(n, a, True) for _ in range(B)])
     _h, sts, frs, shs = _o1_group(blocks)
     if not (shs == shs[0]).all():
         pytest.skip("mixed shifts")
+    if row_fetch == "fma" and int(shs[0]) > 10:
+        pytest.skip("fma single-chain requires shift <= 10")
     r = rans_v2.densify_group(frs.astype(np.uint16), sts.astype(np.uint16))
     assert r is not None
     alpha, packed, _ = r
@@ -258,7 +264,7 @@ def test_encode_take_variant_byte_exact(a):
     try:
         rans_v2.set_enc_variant(row_fetch="onehot")
         s1, w1, c1 = rans_v2.enc_o1_batch(blocks, alpha, packed, int(shs[0]))
-        rans_v2.set_enc_variant(row_fetch="take")
+        rans_v2.set_enc_variant(row_fetch=row_fetch)
         s2, w2, c2 = rans_v2.enc_o1_batch(blocks, alpha, packed, int(shs[0]))
     finally:
         rans_v2.set_enc_variant(**saved)
