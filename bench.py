@@ -174,17 +174,18 @@ def bench_corpus(name, blocks, check_exact=True):
     A_pad = int(_w[4].shape[1])
 
     # ---- autotune the encode row-fetch formulation (byte-exact
-    # variants; wide alphabets favour 'take', tiny ones 'onehot') ----
+    # variants; wide alphabets favour 'b16' — half the table HBM
+    # traffic; real-chip q40 sweep: 284.1 vs onehot 247.0 MB/s) ----
     if ("enc", A_pad) in _TUNE_CACHE:
         enc_rf = _TUNE_CACHE[("enc", A_pad)]
     else:
         enc_rf = "onehot"
         if A_pad > 8:
-            cand_t = enc_pipeline(seg_cap, "take")     # warm+time 'take'
+            cand_t = enc_pipeline(seg_cap, "b16")      # warm+time 'b16'
             t_oh = enc_pipeline(seg_cap, "onehot")[0]
-            t_tk = enc_pipeline(seg_cap, "take")[0]
-            if min(t_tk, cand_t[0]) < t_oh:
-                enc_rf = "take"
+            t_b16 = enc_pipeline(seg_cap, "b16")[0]
+            if min(t_b16, cand_t[0]) < t_oh:
+                enc_rf = "b16"
         _TUNE_CACHE[("enc", A_pad)] = enc_rf
     t_enc = None
     for _ in range(2):                    # steady state: best of two
@@ -242,11 +243,11 @@ def bench_corpus(name, blocks, check_exact=True):
         # round-2 shipping formulation (safety baseline); the fine
         # windows attack the select wall at small A.  At wide A the
         # full real-chip sweep (docs/ubench_q40_variants_r3.py, A=48)
-        # measured onehot/coarse 270 MB/s vs take 19-67, fma/fma2
-        # 120-235, and fine windows 124-163 (their 4-row refill takes
-        # dominate) — so the wide set is onehot x {coarse, fine4}.
+        # measured b16/coarse 326.7 MB/s > onehot/coarse 270 > fma
+        # 234.8 > fine windows 124-163 (refill-take traffic) > take
+        # 19-67 — so the wide set is {b16, onehot} x coarse.
         if A_pad > 8:
-            dec_cands = [("onehot", "coarse"), ("onehot", "fine4")]
+            dec_cands = [("b16", "coarse"), ("onehot", "coarse")]
         else:
             dec_cands = [("onehot", "coarse"), ("onehot", "fine"),
                          ("onehot", "xfine"), ("onehot", "fine4")]

@@ -68,7 +68,7 @@ def main():
 
     # ---- encode variants (same scan, different row fetch) ----
     total_mb = B * N / 1e6
-    for erf in ("onehot", "fma", "fma2"):
+    for erf in ("onehot", "b16"):
         try:
             o = rans_v2._enc_scan_v2_pb(jb, alpha_d, packed_d, meta_d[:, 1],
                                         1, seg_cap=rans_v2.SEG_CAP2,
@@ -95,10 +95,8 @@ def main():
     w_trim = w_d[:, :cap]
     shiftv = meta_d[:, 1]
     ref = None
-    combos = [("onehot", "coarse"), ("onehot", "fine"),
-              ("onehot", "xfine"), ("onehot", "fine4"),
-              ("take", "coarse"), ("take", "fine"),
-              ("fma", "coarse"), ("fma2", "coarse")]
+    combos = [("onehot", "coarse"), ("b16", "coarse"),
+              ("b16", "fine4")]
     for rf, wn in combos:
         if True:
             try:

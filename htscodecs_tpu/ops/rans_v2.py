@@ -92,6 +92,18 @@ PACK_MASK = (1 << PACK_SHIFT) - 1
 #            the (A,A,B) table from HBM, and the f32 mirrors are the
 #            same 4 bytes/entry.  Kept as test oracles; the bandwidth
 #            fix is 'b16' below.)
+#            'b16'    — HALVE the table bytes: store only the
+#            cumulative bases as u16, with holes (freq==0) filled by
+#            the next valid entry's base (monotone fill, trailing
+#            holes = 1<<shift) plus one extra column = 1<<shift.  The
+#            slot resolve needs no validity mask (a hole's base equals
+#            its successor's, so max picks the valid index), and both
+#            freq and base come from the fetched row: b = row[symd],
+#            f = row[symd+1] - row[symd] — exactly the cumulative-
+#            difference identity of the normalised table.  2 bytes/
+#            entry vs packed i32's 4: directly halves the HBM-bound
+#            A-dependent step cost.  Byte-exact at any shift (bases
+#            and 1<<shift <= 4096 fit u16).
 # win:       'coarse' — (256,B) renorm window refilled every 30 syms
 #            (the r2 engine).  The in-step 256-wide select measures
 #            ~22 us/sym — nearly the whole A<=8 decode floor.
@@ -326,13 +338,14 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
     A = packed.shape[1]
     take_rows = row_fetch == "take" and order == 1
     fma_rows = row_fetch in ("fma", "fma2") and order == 1
+    b16_rows = row_fetch == "b16" and order == 1
     if win in _WIN_PARAMS:
         W, _NROWS, R, DU = _WIN_PARAMS[win]
     else:
         W, R, DU = 2 * CHUNK, DEC_R, DEC_U
     PER = R * DU
     KO = -(-K // PER)
-    pfT = bfT = ffT = None
+    pfT = bfT = ffT = bfeT = None
     if take_rows:
         tbl = packed.reshape(B * A, A)                      # row = b*A+ctx
         brangeA = (jnp.arange(B, dtype=jnp.int32) * A)[None, :]
@@ -355,12 +368,16 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
             bfT = jnp.transpose(bf, (1, 2, 0))
             ffT = jnp.transpose(ff, (1, 2, 0))
         packedT = None
+    elif b16_rows:
+        bfeT = _b16_table(packed, shift)                    # (A,A+1,B) u16
+        packedT = None
     elif order == 1:
         packedT = jnp.transpose(packed, (1, 2, 0))          # (A,A,B)
     else:
         packedT = jnp.transpose(packed, (1, 0))[:, None, :] # (A,1,B)
     lane3 = (jnp.arange(4, dtype=jnp.int32) == 3)[:, None]  # (4,1)
     iota_a = jnp.arange(A, dtype=jnp.int32)[:, None, None]  # (A,1,1)
+    iota_a1 = jnp.arange(A + 1, dtype=jnp.int32)[:, None, None]
     iota_w = jnp.arange(W, dtype=jnp.int32)[:, None, None]
 
     def one(X, p, ctx, s, winT, base):
@@ -416,6 +433,22 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
                             axis=0).astype(jnp.uint32)
                 f = jnp.sum(jnp.where(ohs, rowq, jnp.float32(0)),
                             axis=0).astype(jnp.uint32)
+        elif b16_rows:
+            # u16 cumulative-base row: half the HBM traffic of the
+            # packed-i32 paths.  No validity mask needed (see the
+            # variant notes); freq = successor base - base.
+            ohc = ctx[None, :, :] == iota_a                 # (A,4,B)
+            row = jnp.sum(jnp.where(ohc[:, None, :, :],
+                                    bfeT[:, :, None, :], jnp.uint16(0)),
+                          axis=0, dtype=jnp.uint16)         # (A+1,4,B)
+            ok = row[:A] <= m.astype(jnp.uint16)[None]
+            symd = jnp.max(jnp.where(ok, iota_a, 0), axis=0)
+            oh0 = symd[None, :, :] == iota_a1               # (A+1,4,B)
+            oh1 = (symd + 1)[None, :, :] == iota_a1
+            b = jnp.sum(jnp.where(oh0, row, jnp.uint16(0)),
+                        axis=0, dtype=jnp.uint16).astype(jnp.uint32)
+            f = jnp.sum(jnp.where(oh1, row, jnp.uint16(0)),
+                        axis=0, dtype=jnp.uint16).astype(jnp.uint32) - b
         else:
             if order == 1:
                 ohc = ctx[None, :, :] == iota_a             # (A,4,B)
@@ -496,6 +529,28 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
     (Xf, pf, _), syms = lax.scan(outer, (X0T, p0, ctx0),
                                  jnp.arange(KO, dtype=jnp.int32))
     return syms.reshape(KO * PER, 4, B), Xf
+
+
+def _b16_table(packed, shift):
+    """(B,A,A) packed i32 -> (A_ctx, A+1, B) u16 monotone-filled
+    cumulative-base table (the 'b16' row-fetch format; see the variant
+    notes).  Holes take the NEXT valid entry's base via a reverse
+    cumulative min (bases strictly increase over valid entries, so a
+    valid entry keeps its own base); trailing holes and the appended
+    column get 1 << shift.  Built once per decode/encode call."""
+    B, A = packed.shape[0], packed.shape[1]
+    fq = packed & PACK_MASK
+    bs = packed >> PACK_SHIFT
+    if isinstance(shift, int):
+        tote = jnp.full((B, A, 1), 1 << shift, jnp.int32)
+    else:
+        tote = jnp.broadcast_to(
+            (jnp.int32(1) << shift.astype(jnp.int32))[:, None, None],
+            (B, A, 1))
+    filled = jnp.where(fq > 0, bs, tote)
+    bfill = lax.cummin(filled, axis=2, reverse=True)
+    bfe = jnp.concatenate([bfill, tote], axis=2).astype(jnp.uint16)
+    return jnp.transpose(bfe, (1, 2, 0))
 
 
 def _undensify_T(syms, alpha):
@@ -632,7 +687,8 @@ def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
     dense = _densify(blocks, alpha)                           # (B,N) i32
     take_rows = row_fetch == "take" and order == 1
     fma_rows = row_fetch in ("fma", "fma2") and order == 1
-    pfT = bfT = ffT = None
+    b16_rows = row_fetch == "b16" and order == 1
+    pfT = bfT = ffT = bfeT = None
     if take_rows:
         tbl = packed.reshape(B * A, A)                        # row = b*A+ctx
         brangeA = (jnp.arange(B, dtype=jnp.int32) * A)[None, :]
@@ -650,6 +706,9 @@ def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
                 (packed >> PACK_SHIFT).astype(jnp.float32), (1, 2, 0))
             ffT = jnp.transpose(
                 (packed & PACK_MASK).astype(jnp.float32), (1, 2, 0))
+        packedT = None
+    elif b16_rows:
+        bfeT = _b16_table(packed, shift)                      # (A,A+1,B)
         packedT = None
     elif order == 1:
         packedT = jnp.transpose(packed, (1, 2, 0))            # (A,A,B)
@@ -720,6 +779,7 @@ def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
         xmax_mult = (jnp.uint32(RANS_L) >> shl) << 16
 
     iota_a = jnp.arange(A, dtype=jnp.int32)[:, None, None]
+    iota_a1 = jnp.arange(A + 1, dtype=jnp.int32)[:, None, None]
 
     def step(x, inp):
         ctx, sym, ok = inp                                 # (4,B)
@@ -749,6 +809,20 @@ def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
                 fval = jnp.sum(jnp.where(ohs, rowq, jnp.float32(0)),
                                axis=0).astype(jnp.int32)
                 val = (sval << PACK_SHIFT) | fval
+        elif b16_rows:
+            # u16 cumulative-base row (see the decode-side branch):
+            # start = row[sym], freq = row[sym+1] - row[sym].
+            ohc = ctx[None, :, :] == iota_a                # (A,4,B)
+            row = jnp.sum(jnp.where(ohc[:, None, :, :],
+                                    bfeT[:, :, None, :], jnp.uint16(0)),
+                          axis=0, dtype=jnp.uint16)        # (A+1,4,B)
+            oh0 = sym[None, :, :] == iota_a1
+            oh1 = (sym + 1)[None, :, :] == iota_a1
+            bv = jnp.sum(jnp.where(oh0, row, jnp.uint16(0)),
+                         axis=0, dtype=jnp.uint16).astype(jnp.int32)
+            nbv = jnp.sum(jnp.where(oh1, row, jnp.uint16(0)),
+                          axis=0, dtype=jnp.uint16).astype(jnp.int32)
+            val = (bv << PACK_SHIFT) | (nbv - bv)
         else:
             if order == 1:
                 ohc = ctx[None, :, :] == iota_a            # (A,4,B)
