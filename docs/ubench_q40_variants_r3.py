@@ -68,7 +68,7 @@ def main():
 
     # ---- encode variants (same scan, different row fetch) ----
     total_mb = B * N / 1e6
-    for erf in ("onehot", "b16"):
+    for erf in ("b16", "mxu"):
         try:
             o = rans_v2._enc_scan_v2_pb(jb, alpha_d, packed_d, meta_d[:, 1],
                                         1, seg_cap=rans_v2.SEG_CAP2,
@@ -95,8 +95,7 @@ def main():
     w_trim = w_d[:, :cap]
     shiftv = meta_d[:, 1]
     ref = None
-    combos = [("onehot", "coarse"), ("b16", "coarse"),
-              ("b16", "fine4")]
+    combos = [("b16", "coarse"), ("mxu", "coarse")]
     for rf, wn in combos:
         if True:
             try:

@@ -104,6 +104,20 @@ PACK_MASK = (1 << PACK_SHIFT) - 1
 #            entry vs packed i32's 4: directly halves the HBM-bound
 #            A-dependent step cost.  Byte-exact at any shift (bases
 #            and 1<<shift <= 4096 fit u16).
+#            'mxu'    — the b16 table split into two int8 planes
+#            (base = hi*64 + lo; hi <= 64 and lo <= 63 fit i8 at any
+#            shift <= 12) and the one-hot context contraction done as
+#            ONE batched int8 dot_general with i32 accumulation
+#            (planes concatenated along N), exact by construction.
+#            Same 2 bytes/entry HBM traffic as b16; moves the A^2*4B
+#            contraction compute from the VPU to the MXU, attacking
+#            the compute half of the co-dominant wide-A step cost.
+#            (Measured 9.5x/5.5x SLOWER than b16 on the real chip at
+#            A=48: a (4,48)@(48,98) matmul per block pads to full MXU
+#            tiles, so the batched-small-matmul utilisation is a few
+#            percent and the layout churn in-scan dwarfs the VPU
+#            savings — consistent with the round-1 one-hot-matmul
+#            note.  Kept as a test oracle only.)
 # win:       'coarse' — (256,B) renorm window refilled every 30 syms
 #            (the r2 engine).  The in-step 256-wide select measures
 #            ~22 us/sym — nearly the whole A<=8 decode floor.
@@ -339,13 +353,14 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
     take_rows = row_fetch == "take" and order == 1
     fma_rows = row_fetch in ("fma", "fma2") and order == 1
     b16_rows = row_fetch == "b16" and order == 1
+    mxu_rows = row_fetch == "mxu" and order == 1
     if win in _WIN_PARAMS:
         W, _NROWS, R, DU = _WIN_PARAMS[win]
     else:
         W, R, DU = 2 * CHUNK, DEC_R, DEC_U
     PER = R * DU
     KO = -(-K // PER)
-    pfT = bfT = ffT = bfeT = None
+    pfT = bfT = ffT = bfeT = rhs8 = None
     if take_rows:
         tbl = packed.reshape(B * A, A)                      # row = b*A+ctx
         brangeA = (jnp.arange(B, dtype=jnp.int32) * A)[None, :]
@@ -370,6 +385,9 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
         packedT = None
     elif b16_rows:
         bfeT = _b16_table(packed, shift)                    # (A,A+1,B) u16
+        packedT = None
+    elif mxu_rows:
+        rhs8 = _mxu_table(packed, shift)                    # (B,A,2A+2) i8
         packedT = None
     elif order == 1:
         packedT = jnp.transpose(packed, (1, 2, 0))          # (A,A,B)
@@ -449,6 +467,25 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
                         axis=0, dtype=jnp.uint16).astype(jnp.uint32)
             f = jnp.sum(jnp.where(oh1, row, jnp.uint16(0)),
                         axis=0, dtype=jnp.uint16).astype(jnp.uint32) - b
+        elif mxu_rows:
+            # one-hot contraction on the MXU: batched int8 matmul over
+            # both planes at once, exact in i32 (see the variant notes)
+            lhs = (ctx.T[:, :, None] ==
+                   jnp.arange(A, dtype=jnp.int32)[None, None, :]
+                   ).astype(jnp.int8)                       # (B,4,A)
+            rr = lax.dot_general(lhs, rhs8,
+                                 (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.int32)
+            rowm = rr[:, :, :A + 1] * 64 + rr[:, :, A + 1:]
+            row = jnp.transpose(rowm, (2, 1, 0))            # (A+1,4,B)
+            ok = row[:A] <= m[None]
+            symd = jnp.max(jnp.where(ok, iota_a, 0), axis=0)
+            oh0 = symd[None, :, :] == iota_a1               # (A+1,4,B)
+            oh1 = (symd + 1)[None, :, :] == iota_a1
+            b = jnp.sum(jnp.where(oh0, row, 0),
+                        axis=0).astype(jnp.uint32)
+            f = jnp.sum(jnp.where(oh1, row, 0),
+                        axis=0).astype(jnp.uint32) - b
         else:
             if order == 1:
                 ohc = ctx[None, :, :] == iota_a             # (A,4,B)
@@ -531,8 +568,8 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
     return syms.reshape(KO * PER, 4, B), Xf
 
 
-def _b16_table(packed, shift):
-    """(B,A,A) packed i32 -> (A_ctx, A+1, B) u16 monotone-filled
+def _b16_fill(packed, shift):
+    """(B,A,A) packed i32 -> (B, A_ctx, A+1) i32 monotone-filled
     cumulative-base table (the 'b16' row-fetch format; see the variant
     notes).  Holes take the NEXT valid entry's base via a reverse
     cumulative min (bases strictly increase over valid entries, so a
@@ -549,8 +586,23 @@ def _b16_table(packed, shift):
             (B, A, 1))
     filled = jnp.where(fq > 0, bs, tote)
     bfill = lax.cummin(filled, axis=2, reverse=True)
-    bfe = jnp.concatenate([bfill, tote], axis=2).astype(jnp.uint16)
-    return jnp.transpose(bfe, (1, 2, 0))
+    return jnp.concatenate([bfill, tote], axis=2)
+
+
+def _b16_table(packed, shift):
+    """'b16' decode/encode table: (A_ctx, A+1, B) u16."""
+    return jnp.transpose(_b16_fill(packed, shift).astype(jnp.uint16),
+                         (1, 2, 0))
+
+
+def _mxu_table(packed, shift):
+    """'mxu' table: (B, A_ctx, 2*(A+1)) i8 — the b16 bases split as
+    hi = base >> 6 (<= 64) and lo = base & 63, planes concatenated
+    along the last axis so one batched int8 dot_general fetches both
+    (row = 64*hi + lo, exact in i32 accumulation)."""
+    bfe = _b16_fill(packed, shift)
+    return jnp.concatenate([(bfe >> 6).astype(jnp.int8),
+                            (bfe & 63).astype(jnp.int8)], axis=2)
 
 
 def _undensify_T(syms, alpha):
@@ -688,7 +740,8 @@ def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
     take_rows = row_fetch == "take" and order == 1
     fma_rows = row_fetch in ("fma", "fma2") and order == 1
     b16_rows = row_fetch == "b16" and order == 1
-    pfT = bfT = ffT = bfeT = None
+    mxu_rows = row_fetch == "mxu" and order == 1
+    pfT = bfT = ffT = bfeT = rhs8 = None
     if take_rows:
         tbl = packed.reshape(B * A, A)                        # row = b*A+ctx
         brangeA = (jnp.arange(B, dtype=jnp.int32) * A)[None, :]
@@ -709,6 +762,9 @@ def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
         packedT = None
     elif b16_rows:
         bfeT = _b16_table(packed, shift)                      # (A,A+1,B)
+        packedT = None
+    elif mxu_rows:
+        rhs8 = _mxu_table(packed, shift)                      # (B,A,2A+2)
         packedT = None
     elif order == 1:
         packedT = jnp.transpose(packed, (1, 2, 0))            # (A,A,B)
@@ -822,6 +878,21 @@ def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
                          axis=0, dtype=jnp.uint16).astype(jnp.int32)
             nbv = jnp.sum(jnp.where(oh1, row, jnp.uint16(0)),
                           axis=0, dtype=jnp.uint16).astype(jnp.int32)
+            val = (bv << PACK_SHIFT) | (nbv - bv)
+        elif mxu_rows:
+            # batched int8 one-hot matmul (see the decode-side branch)
+            lhs = (ctx.T[:, :, None] ==
+                   jnp.arange(A, dtype=jnp.int32)[None, None, :]
+                   ).astype(jnp.int8)                      # (B,4,A)
+            rr = lax.dot_general(lhs, rhs8,
+                                 (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.int32)
+            rowm = rr[:, :, :A + 1] * 64 + rr[:, :, A + 1:]
+            row = jnp.transpose(rowm, (2, 1, 0))           # (A+1,4,B)
+            oh0 = sym[None, :, :] == iota_a1
+            oh1 = (sym + 1)[None, :, :] == iota_a1
+            bv = jnp.sum(jnp.where(oh0, row, 0), axis=0)
+            nbv = jnp.sum(jnp.where(oh1, row, 0), axis=0)
             val = (bv << PACK_SHIFT) | (nbv - bv)
         else:
             if order == 1:

@@ -206,7 +206,7 @@ def test_dense_native_matches_sparse():
 
 
 @pytest.mark.parametrize("row_fetch", ["onehot", "take", "fma", "fma2",
-                                       "b16"])
+                                       "b16", "mxu"])
 @pytest.mark.parametrize("win", ["coarse", "fine", "xfine", "fine4"])
 @pytest.mark.parametrize("a", [3, 44])
 def test_decode_variants_byte_exact(row_fetch, win, a):
@@ -246,7 +246,7 @@ def test_decode_variants_byte_exact(row_fetch, win, a):
     assert np.array_equal(dec, blocks)
 
 
-@pytest.mark.parametrize("row_fetch", ["take", "fma", "fma2", "b16"])
+@pytest.mark.parametrize("row_fetch", ["take", "fma", "fma2", "b16", "mxu"])
 @pytest.mark.parametrize("a", [3, 44])
 def test_encode_variant_byte_exact(row_fetch, a):
     """Every alternative encode row fetch must emit the identical
