@@ -52,8 +52,11 @@ DEC_U = 2            # symbols decoded per inner step: 2 symbols per
                      # "insensitive" only at the latency-bound floor)
 DEC_R = 15           # inner steps per refill: 127 + 4*DEC_U*DEC_R <= 255
 MAX_DENSE_A = 96     # above this, fall back to the v1 gather engines
-ENC_UNROLL = 2       # encode scan unroll (same compute-bound win as
-                     # DEC_U; measured on TPU)
+ENC_UNROLL = int(os.environ.get("HTSCODECS_TPU_ENC_UNROLL", "2"))
+                     # encode scan unroll (same compute-bound win as
+                     # DEC_U; measured on TPU).  Env-at-import only:
+                     # it is not part of the jit cache key, so it must
+                     # never change within a process.
 SEG = 128            # two-level compaction: slots per local sort
 SEG_CAP = 32         # per-segment word cap kept for the global pass
 SEG_CAP2 = 64        # middle retry tier (q40-class ratios emit ~35
@@ -163,12 +166,22 @@ def get_dec_variant():
 # work) instead of the A^2*4*B ctx one-hot reduce.
 _ENC_VARIANT = {
     "row_fetch": os.environ.get("HTSCODECS_TPU_ENC_ROW_FETCH", "onehot"),
+    # 'row': transpose the scan outputs to (B, E) rows, then compact
+    #        (the r2 scheme).  'col': compact in the scan-native
+    #        (E, B) layout — skips the two full-array transposes
+    #        (u16 words + bool emits, ~4.8 GB of awkward 4-minor
+    #        traffic) and transposes only the capped survivors;
+    #        sort compare-exchanges become pure elementwise vector
+    #        ops across the B-minor axis.  Both byte-exact.
+    "compact": os.environ.get("HTSCODECS_TPU_ENC_COMPACT", "col"),
 }
 
 
-def set_enc_variant(row_fetch=None):
+def set_enc_variant(row_fetch=None, compact=None):
     if row_fetch is not None:
         _ENC_VARIANT["row_fetch"] = row_fetch
+    if compact is not None:
+        _ENC_VARIANT["compact"] = compact
 
 
 def get_enc_variant():
@@ -724,7 +737,8 @@ def dec_o0_batch(states, words, out_sz: int, alpha, packed,
 # Encode
 
 def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
-                   seg_cap: int = SEG_CAP, row_fetch: str = "onehot"):
+                   seg_cap: int = SEG_CAP, row_fetch: str = "onehot",
+                   compact: str = "col"):
     """Core v2 encode, TRANSPOSED layout (lanes/alphabet major, block
     axis B minor — see _dec_scan_impl): densify, build
     processing-order params on device, run the reverse scan fetching
@@ -919,30 +933,39 @@ def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
     xf, (words, emits) = lax.scan(step, x0, (ctx_p, sym_p, valid),
                                   unroll=ENC_UNROLL)
 
-    # forward order = reverse of processing order (steps and lanes).
-    # The barrier keeps the flattening a single dense transpose.
-    w = jnp.transpose(words[::-1, ::-1, :], (2, 0, 1)).reshape(B, K * 4)
-    e = jnp.transpose(emits[::-1, ::-1, :], (2, 0, 1)).reshape(B, K * 4)
-    w, e = lax.optimization_barrier((w, e))
-    out, n, overflow = _compact(w, e, seg_cap)
+    # forward order = reverse of processing order (steps and lanes)
+    if compact == "col":
+        # compact in the scan-native layout: the (K,4,B)->(K*4,B)
+        # flatten is a contiguous reshape, no transpose
+        wT = words[::-1, ::-1, :].reshape(K * 4, B)
+        eT = emits[::-1, ::-1, :].reshape(K * 4, B)
+        out, n, overflow = _compact_T(wT, eT, seg_cap)
+    else:
+        # the barrier keeps the flattening a single dense transpose
+        w = jnp.transpose(words[::-1, ::-1, :], (2, 0, 1)).reshape(B, K * 4)
+        e = jnp.transpose(emits[::-1, ::-1, :], (2, 0, 1)).reshape(B, K * 4)
+        w, e = lax.optimization_barrier((w, e))
+        out, n, overflow = _compact(w, e, seg_cap)
     return jnp.transpose(xf, (1, 0))[:, ::-1], out, n, overflow
 
 
 @functools.partial(jax.jit, static_argnames=("shift", "order", "seg_cap",
-                                             "row_fetch"))
+                                             "row_fetch", "compact"))
 def _enc_scan_v2(blocks, alpha, packed, shift: int, order: int,
-                 seg_cap: int = SEG_CAP, row_fetch: str = "onehot"):
+                 seg_cap: int = SEG_CAP, row_fetch: str = "onehot",
+                 compact: str = "col"):
     return _enc_scan_impl(blocks, alpha, packed, shift, order, seg_cap,
-                          row_fetch)
+                          row_fetch, compact)
 
 
 @functools.partial(jax.jit, static_argnames=("order", "seg_cap",
-                                             "row_fetch"))
+                                             "row_fetch", "compact"))
 def _enc_scan_v2_pb(blocks, alpha, packed, shiftv, order: int,
-                    seg_cap: int = SEG_CAP, row_fetch: str = "onehot"):
+                    seg_cap: int = SEG_CAP, row_fetch: str = "onehot",
+                    compact: str = "col"):
     """Per-block traced shift variant (mixed 10/12-bit batches)."""
     return _enc_scan_impl(blocks, alpha, packed, shiftv, order, seg_cap,
-                          row_fetch)
+                          row_fetch, compact)
 
 
 def _enc_with_fallback(blocks, alpha, packed, shift: int, order: int):
@@ -954,7 +977,8 @@ def _enc_with_fallback(blocks, alpha, packed, shift: int, order: int):
     for cap in (SEG_CAP, SEG_CAP2, SEG):
         xf, words, n, ovf = _enc_scan_v2(blocks, alpha, packed, shift,
                                          order, seg_cap=cap,
-                                         row_fetch=rf)
+                                         row_fetch=rf,
+                                         compact=_ENC_VARIANT["compact"])
         if not bool(np.asarray(ovf)):
             break
     return xf, words, n
@@ -1014,6 +1038,53 @@ def _compact(w, e, seg_cap: int):
     _, out = lax.sort([gkey, swc.astype(jnp.uint16)], dimension=1,
                       num_keys=1)
     return out, n, overflow
+
+
+def _compact_T(wT, eT, seg_cap: int):
+    """_compact in the scan-native (E, B) layout (compact='col').
+
+    Identical two-level packed-i32 scheme, but segments live along the
+    major axis so every bitonic compare-exchange is an elementwise op
+    across the B-minor vector dim, and only the capped survivors are
+    transposed to (B, KO*seg_cap) rows at the end — the full (E, B)
+    words/emits arrays never move."""
+    E, B = wT.shape
+    if seg_cap >= SEG:
+        pos = jnp.cumsum(eT.astype(jnp.int32), axis=0)
+        keys = jnp.where(eT, pos - 1, jnp.int32(1 << 30))
+        n = pos[-1]
+        _, sw = lax.sort([keys, wT], dimension=0, num_keys=1)
+        return jnp.transpose(sw, (1, 0)), n, jnp.zeros((), jnp.bool_)
+
+    KO = -(-E // SEG)
+    pad = KO * SEG - E
+    if pad:
+        wT = jnp.pad(wT, ((0, pad), (0, 0)))
+        eT = jnp.pad(eT, ((0, pad), (0, 0)))
+    ws = wT.reshape(KO, SEG, B).astype(jnp.int32)
+    es = eT.reshape(KO, SEG, B)
+    loc = jnp.cumsum(es.astype(jnp.int32), axis=1)
+    lkey = jnp.where(es, loc - 1, jnp.int32(255))
+    sw = lax.sort((lkey << 16) | ws, dimension=1)            # (KO,SEG,B)
+    cnt = loc[:, -1, :]                                       # (KO,B)
+    overflow = jnp.any(cnt > seg_cap)
+    offs = jnp.cumsum(cnt, axis=0) - cnt                      # (KO,B)
+    n = cnt.sum(axis=0)                                       # (B,)
+    swc = sw[:, :seg_cap, :] & 0xFFFF                         # (KO,CAP,B)
+    j = jnp.arange(seg_cap, dtype=jnp.int32)[None, :, None]
+    if KO * seg_cap < (1 << 15):
+        gkey = jnp.where(j < cnt[:, None, :], offs[:, None, :] + j,
+                         jnp.int32(0x7FFF))
+        out = lax.sort(((gkey << 16) | swc).reshape(KO * seg_cap, B),
+                       dimension=0)
+        return (jnp.transpose(out, (1, 0)) & 0xFFFF).astype(jnp.uint16), \
+            n, overflow
+    gkey = jnp.where(j < cnt[:, None, :], offs[:, None, :] + j,
+                     jnp.int32(1 << 30)).reshape(KO * seg_cap, B)
+    _, out = lax.sort(
+        [gkey, swc.reshape(KO * seg_cap, B).astype(jnp.uint16)],
+        dimension=0, num_keys=1)
+    return jnp.transpose(out, (1, 0)), n, overflow
 
 
 def enc_o1_batch(blocks: np.ndarray, alpha, packed, shift: int):

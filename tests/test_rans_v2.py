@@ -274,6 +274,38 @@ def test_encode_variant_byte_exact(row_fetch, a):
         assert np.array_equal(w1[b, :c1[b]], w2[b, :c2[b]])
 
 
+@pytest.mark.parametrize("seg_cap", [rans_v2.SEG_CAP, rans_v2.SEG_CAP2,
+                                     rans_v2.SEG])
+@pytest.mark.parametrize("a", [3, 44])
+def test_encode_compact_col_byte_exact(seg_cap, a):
+    """The scan-layout ('col') compaction must emit the identical
+    stream as the row-transpose scheme at every cap tier."""
+    import jax.numpy as jnp
+    n, B = 2049, 4
+    blocks = np.stack([mkdata(n, a, True) for _ in range(B)])
+    _h, sts, frs, shs = _o1_group(blocks)
+    if not (shs == shs[0]).all():
+        pytest.skip("mixed shifts")
+    r = rans_v2.densify_group(frs.astype(np.uint16), sts.astype(np.uint16))
+    assert r is not None
+    alpha, packed, _ = r
+    args = (jnp.asarray(blocks), jnp.asarray(alpha), jnp.asarray(packed),
+            int(shs[0]), 1)
+    s1, w1, c1, o1 = rans_v2._enc_scan_v2(*args, seg_cap=seg_cap,
+                                          compact="row")
+    s2, w2, c2, o2 = rans_v2._enc_scan_v2(*args, seg_cap=seg_cap,
+                                          compact="col")
+    assert bool(np.asarray(o1)) == bool(np.asarray(o2))
+    if bool(np.asarray(o1)):
+        pytest.skip("segment overflow at this cap")
+    c1, c2 = np.asarray(c1), np.asarray(c2)
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.array_equal(c1, c2)
+    w1, w2 = np.asarray(w1), np.asarray(w2)
+    for b in range(B):
+        assert np.array_equal(w1[b, :c1[b]], w2[b, :c2[b]])
+
+
 def test_wide_alphabet_rejected():
     blocks = np.stack([np.arange(256, dtype=np.uint8)] * 2)
     _h, sts, frs, _sh = _o1_group(blocks)
