@@ -52,11 +52,11 @@ DEC_U = 2            # symbols decoded per inner step: 2 symbols per
                      # "insensitive" only at the latency-bound floor)
 DEC_R = 15           # inner steps per refill: 127 + 4*DEC_U*DEC_R <= 255
 MAX_DENSE_A = 96     # above this, fall back to the v1 gather engines
-ENC_UNROLL = int(os.environ.get("HTSCODECS_TPU_ENC_UNROLL", "2"))
-                     # encode scan unroll (same compute-bound win as
-                     # DEC_U; measured on TPU).  Env-at-import only:
-                     # it is not part of the jit cache key, so it must
-                     # never change within a process.
+ENC_UNROLL = int(os.environ.get("HTSCODECS_TPU_ENC_UNROLL", "4"))
+                     # encode scan unroll (real chip, col compaction:
+                     # 4 beats 2 by ~4% at A=8, ~1% at A=48).
+                     # Env-at-import only: it is not part of the jit
+                     # cache key, so it must never change in-process.
 SEG = 128            # two-level compaction: slots per local sort
 SEG_CAP = 32         # per-segment word cap kept for the global pass
 SEG_CAP2 = 64        # middle retry tier (q40-class ratios emit ~35
@@ -146,6 +146,22 @@ _WIN_PARAMS = {
     "fine4": (64, 4, 3, 4),      # 15 + 16*3 = 63 < 64: with the small
                                  # select, deeper unroll amortises the
                                  # remaining per-step scan overhead
+}
+
+# Overlapped-window variants: the chunk stream is pre-expanded IN-JIT
+# to rows of 2*CW words at CW-word granularity (row r covers words
+# [r*CW, r*CW+2*CW)), so a refill is ONE take of B rows yet the
+# in-step select is only 2*CW wide.  This decouples the select width
+# from the 128-word chunk granularity that forces coarse to W=256:
+# 'w128' halves the dominant floor cost (the W-wide select, ~22 us/sym
+# at W=256) at the SAME refill row rate as coarse (B/16 vs 2B/30
+# rows/sym).  2x chunk-matrix memory, built in one fused pass.
+# Constraint per refill: (CW-1) + 4*DU*R < 2*CW, i.e. 4*DU*R <= CW.
+_WIN_OV = {
+    "w256": (128, 15, 2),        # select 256-wide, half coarse's rows
+    "w128": (64, 8, 2),          # 63 + 64 = 127 < 128
+    "w64": (32, 4, 2),           # 31 + 32 = 63 < 64
+    "w128u4": (64, 4, 4),        # 63 + 64 = 127: deeper unroll
 }
 
 
@@ -367,7 +383,10 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
     fma_rows = row_fetch in ("fma", "fma2") and order == 1
     b16_rows = row_fetch == "b16" and order == 1
     mxu_rows = row_fetch == "mxu" and order == 1
-    if win in _WIN_PARAMS:
+    if win in _WIN_OV:
+        CW, R, DU = _WIN_OV[win]
+        W = 2 * CW
+    elif win in _WIN_PARAMS:
         W, _NROWS, R, DU = _WIN_PARAMS[win]
     else:
         W, R, DU = 2 * CHUNK, DEC_R, DEC_U
@@ -530,7 +549,20 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
         ctx = jnp.where(act, symd, ctx)
         return X, p, ctx, symd.astype(jnp.uint8)
 
-    if win in _WIN_PARAMS:
+    if win in _WIN_OV:
+        # overlapped rows: row r = words[r*CW : r*CW+2*CW), built in
+        # one fused pass; a refill is ONE take of B rows
+        NC2 = NC * (CHUNK // CW)
+        ch = chunks.reshape(B, NC2, CW)
+        nxt = jnp.concatenate([ch[:, 1:], ch[:, -1:]], axis=1)
+        c2 = jnp.concatenate([ch, nxt], axis=2).reshape(B * NC2, W)
+        brange2 = jnp.arange(B, dtype=jnp.int32) * NC2
+
+        def refill(p):
+            c0 = jnp.minimum(p // CW, NC2 - 1)
+            winT = jnp.take(c2, brange2 + c0, axis=0).reshape(B, W).T
+            return winT, c0 * CW
+    elif win in _WIN_PARAMS:
         # 16-word chunk rows carved in-jit from the 128-word matrix;
         # a refill takes W/16 consecutive rows -> W-wide window.
         NC2 = NC * (CHUNK // FINE_CW)

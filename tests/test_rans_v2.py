@@ -207,7 +207,8 @@ def test_dense_native_matches_sparse():
 
 @pytest.mark.parametrize("row_fetch", ["onehot", "take", "fma", "fma2",
                                        "b16", "mxu"])
-@pytest.mark.parametrize("win", ["coarse", "fine", "xfine", "fine4"])
+@pytest.mark.parametrize("win", ["coarse", "fine", "xfine", "fine4",
+                                 "w256", "w128", "w64", "w128u4"])
 @pytest.mark.parametrize("a", [3, 44])
 def test_decode_variants_byte_exact(row_fetch, win, a):
     """Every (row_fetch, win) decode formulation must produce
