@@ -239,18 +239,18 @@ def bench_corpus(name, blocks, check_exact=True):
         dec_rf, dec_wn = _TUNE_CACHE[("dec", A_pad)]
     else:
         # keep the candidate set tight: each candidate costs a cold
-        # XLA compile on the driver's clock.  (onehot,coarse) is the
-        # round-2 shipping formulation (safety baseline); the fine
-        # windows attack the select wall at small A.  At wide A the
-        # full real-chip sweep (docs/ubench_q40_variants_r3.py, A=48)
-        # measured b16/coarse 326.7 MB/s > onehot/coarse 270 > fma
-        # 234.8 > fine windows 124-163 (refill-take traffic) > take
-        # 19-67 — so the wide set is {b16, onehot} x coarse.
+        # XLA compile on the driver's clock.  Sets come from the
+        # round-3 real-chip sweeps (docs/ubench_q40_variants_r3.py,
+        # docs/ubench_dec_win_r3.py; PERF_NOTES): b16 wins wide
+        # alphabets (326.7 vs onehot 270 at A=48), the overlapped
+        # w128 window wins everywhere (synth4 1660 vs coarse 1526;
+        # q40 342.6 vs 326.7), w128u4 ties w128 at small A; take/fma/
+        # mxu and the fine windows are dominated.
         if A_pad > 8:
-            dec_cands = [("b16", "coarse"), ("onehot", "coarse")]
+            dec_cands = [("b16", "w128"), ("b16", "coarse")]
         else:
-            dec_cands = [("onehot", "coarse"), ("onehot", "fine"),
-                         ("onehot", "xfine"), ("onehot", "fine4")]
+            dec_cands = [("onehot", "w128"), ("onehot", "w128u4"),
+                         ("onehot", "coarse")]
         best = None
         for rf, wn in dec_cands:
             dec_pipeline(rf, wn)              # warm (compiles)

@@ -133,8 +133,11 @@ PACK_MASK = (1 << PACK_SHIFT) - 1
 # Defaults come from env (bench.py autotunes on the real chip and sets
 # set_dec_variant); tests sweep every combination for exactness.
 _DEC_VARIANT = {
-    "row_fetch": os.environ.get("HTSCODECS_TPU_ROW_FETCH", "onehot"),
-    "win": os.environ.get("HTSCODECS_TPU_WIN", "coarse"),
+    # 'auto' resolves at trace time from the batch's (A, order):
+    # row_fetch = b16 when order-1 and A > 8 else onehot; win = w128
+    # (both from the round-3 real-chip sweeps in PERF_NOTES)
+    "row_fetch": os.environ.get("HTSCODECS_TPU_ROW_FETCH", "auto"),
+    "win": os.environ.get("HTSCODECS_TPU_WIN", "auto"),
 }
 
 FINE_CW = 16          # words per fine chunk row (CHUNK must divide)
@@ -181,7 +184,7 @@ def get_dec_variant():
 # 4B ctx rows and resolves the symbol with one A-wide one-hot (A*4*B
 # work) instead of the A^2*4*B ctx one-hot reduce.
 _ENC_VARIANT = {
-    "row_fetch": os.environ.get("HTSCODECS_TPU_ENC_ROW_FETCH", "onehot"),
+    "row_fetch": os.environ.get("HTSCODECS_TPU_ENC_ROW_FETCH", "auto"),
     # 'row': transpose the scan outputs to (B, E) rows, then compact
     #        (the r2 scheme).  'col': compact in the scan-native
     #        (E, B) layout — skips the two full-array transposes
@@ -379,6 +382,12 @@ def _dec_scan_impl(X0, chunks, packed, shift, K: int, q: int, order: int,
         shr = shift.astype(jnp.uint32)[None, :]            # (1,B)
         mask = (jnp.uint32(1) << shr) - 1
     A = packed.shape[1]
+    # 'auto' resolves from the real-chip sweep data (PERF_NOTES r3):
+    # b16 wins decisively for wide alphabets, w128 wins everywhere
+    if row_fetch == "auto":
+        row_fetch = "b16" if (order == 1 and A > 8) else "onehot"
+    if win == "auto":
+        win = "w128"
     take_rows = row_fetch == "take" and order == 1
     fma_rows = row_fetch in ("fma", "fma2") and order == 1
     b16_rows = row_fetch == "b16" and order == 1
@@ -783,6 +792,8 @@ def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
     B, N = blocks.shape
     A = packed.shape[1]
     dense = _densify(blocks, alpha)                           # (B,N) i32
+    if row_fetch == "auto":   # sweep-data default (PERF_NOTES r3)
+        row_fetch = "b16" if (order == 1 and A > 8) else "onehot"
     take_rows = row_fetch == "take" and order == 1
     fma_rows = row_fetch in ("fma", "fma2") and order == 1
     b16_rows = row_fetch == "b16" and order == 1
