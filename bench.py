@@ -163,15 +163,22 @@ def bench_corpus(name, blocks, check_exact=True):
         return dt, meta, hdrs, alpha_d, packed_d, meta_d, st_d, w_d, \
             n_d, ovf
 
+    # NOTE on liveness: each enc_pipeline result tuple holds >1 GB of
+    # device arrays (words, states, tables).  Holding two or three of
+    # them at once put q40dir (A=48, the largest live-set corpus) over
+    # the 16 GB HBM limit — always del the previous tuple before
+    # re-running.
     seg_cap = rans_v2.SEG_CAP
     for cap in (rans_v2.SEG_CAP, rans_v2.SEG_CAP2, rans_v2.SEG):
         seg_cap = cap
         _w = enc_pipeline(cap)            # warm (compiles)
         if _w is None:
             return None                   # wide alphabet: declined
-        if not bool(np.asarray(_w[9])):
+        _ovf = bool(np.asarray(_w[9]))
+        A_pad = int(_w[4].shape[1])
+        del _w
+        if not _ovf:
             break
-    A_pad = int(_w[4].shape[1])
 
     # ---- autotune the encode row-fetch formulation (byte-exact
     # variants; wide alphabets favour 'b16' — half the table HBM
@@ -181,16 +188,23 @@ def bench_corpus(name, blocks, check_exact=True):
     else:
         enc_rf = "onehot"
         if A_pad > 8:
-            cand_t = enc_pipeline(seg_cap, "b16")      # warm+time 'b16'
-            t_oh = enc_pipeline(seg_cap, "onehot")[0]
-            t_b16 = enc_pipeline(seg_cap, "b16")[0]
-            if min(t_b16, cand_t[0]) < t_oh:
+            _c = enc_pipeline(seg_cap, "b16")          # warm 'b16'
+            t_b16 = _c[0]
+            del _c
+            _c = enc_pipeline(seg_cap, "onehot")
+            t_oh = _c[0]
+            del _c
+            _c = enc_pipeline(seg_cap, "b16")
+            t_b16 = min(t_b16, _c[0])
+            del _c
+            if t_b16 < t_oh:
                 enc_rf = "b16"
         _TUNE_CACHE[("enc", A_pad)] = enc_rf
-    t_enc = None
-    for _ in range(2):                    # steady state: best of two
-        r = enc_pipeline(seg_cap, enc_rf)
-        t_enc = r[0] if t_enc is None else min(t_enc, r[0])
+    r = enc_pipeline(seg_cap, enc_rf)     # steady state: best of two
+    t_enc = r[0]
+    del r
+    r = enc_pipeline(seg_cap, enc_rf)
+    t_enc = min(t_enc, r[0])
     dt, meta, hdrs, alpha_d, packed_d, meta_d, st_d, w_d, n_d, ovf = r
     assert not bool(np.asarray(ovf)), f"{name}: compaction overflow"
     if hdrs is None:
@@ -264,10 +278,11 @@ def bench_corpus(name, blocks, check_exact=True):
         _TUNE_CACHE[("dec", A_pad)] = (dec_rf, dec_wn)
 
     _w2, out = dec_pipeline(dec_rf, dec_wn)   # warm winner
-    t_dec = None
-    for _ in range(2):
-        dtd, out = dec_pipeline(dec_rf, dec_wn)
-        t_dec = dtd if t_dec is None else min(t_dec, dtd)
+    del out
+    t_dec, out = dec_pipeline(dec_rf, dec_wn)
+    del out
+    dtd, out = dec_pipeline(dec_rf, dec_wn)
+    t_dec = min(t_dec, dtd)
 
     if PROFILE:
         _cost_analysis(
@@ -476,11 +491,16 @@ def main():
 
     rows = []
     for name, blocks in corpora:
-        r = bench_corpus(name, blocks, check_exact=True)
+        try:
+            r = bench_corpus(name, blocks, check_exact=True)
+        except Exception as e:        # one corpus must not kill bench
+            r = {"corpus": name, "error": str(e)[:200]}
         if r is None:
             r = {"corpus": name, "error": "device path declined"}
         print(json.dumps(r), file=sys.stderr, flush=True)
         rows.append(r)
+        import gc
+        gc.collect()
     try:
         for r in bench_fqz_tok3():
             print(json.dumps(r), file=sys.stderr, flush=True)
@@ -489,8 +509,9 @@ def main():
               file=sys.stderr, flush=True)
 
     head = rows[0]
-    ok = all(r.get("mismatches", 1) == 0 and r.get("byte_exact", False)
-             for r in rows if "error" not in r)
+    ok = (all(r.get("mismatches", 1) == 0 and r.get("byte_exact", False)
+              for r in rows if "error" not in r)
+          and not any("error" in r for r in rows))
     print(json.dumps({"setup_s": round(time.time() - t_setup, 1)}),
           file=sys.stderr)
     print(json.dumps({

@@ -1,0 +1,381 @@
+"""Pallas VMEM-resident rANS 4x16 decode engine (v4, round 3).
+
+Why this exists: the XLA scan engines (ops/rans_v2.py) re-read the
+dense symbol tables from HBM on EVERY decode step — at A=48, B=12288
+that is 57.8 MB/step even in the u16 'b16' format, and the measured
+wall is exactly that stream (docs/PERF_NOTES.md round-3: 384 GB/s
+achieved, table traffic + one-hot contraction co-dominant).  An XLA
+scan cannot pin the tables on-chip; a Pallas kernel can.  This kernel
+keeps, per 128-block tile, the whole word stream, the symbol tables
+and the decoder state resident in VMEM across the entire symbol loop,
+so the per-step HBM traffic drops to (amortised) zero and the step
+cost is pure VPU work.
+
+Design notes (constraints from docs/PERF_NOTES.md measurements):
+
+- **Lane-major folded layout**: working vectors live on a minor axis
+  of 4*BT lanes indexed ``l*BT + b``.  A ``(1, 4*BT)`` <-> ``(4, BT)``
+  reshape is contiguous, so the only cross-lane operation — the renorm
+  word-claim prefix sum, which the format defines in lane order 0..3
+  (rANS_word.h:356-410) — is three sublane adds on the ``(4, BT)``
+  view.  No per-lane window replication is needed anywhere.
+- **Pair-packed i32 tables**: the 'b16' monotone cumulative-base rows
+  (rans_v2._b16_fill) are packed two entries per i32 as
+  ``lo | (hi << 13)`` (entries <= 4096 fit 13 bits — exact at any
+  shift, unlike an f32 packing where tote=4096 in a hi slot overflows
+  the 24-bit mantissa).  The one-hot context fetch is a where-chain
+  over ceil((A+1)/2) packed rows — HALF the select work of the
+  unpacked form — and the slot->symbol resolve runs directly on the
+  packed pairs via the monotone-prefix property, never unpacking to
+  full rows.
+- **Windowed renorm from VMEM**: a (W/2, BT) i32 window (2 words per
+  entry) is re-selected from the resident word stream once per
+  PER=CW/4 steps by a one-hot chain over CW-word-aligned anchors; the
+  per-step claim is a (W/2, BT) masked max per lane plus a 16-bit
+  extract.  Same overlapped-window trick as rans_v2's 'w128', but the
+  refill reads VMEM, not HBM.
+- **Packed IO**: decoded bytes leave 4-per-u32 per lane (one (4, BT)
+  store every 4 steps); the dense->byte map is a where-chain over
+  ceil(A/4) rows of 4-byte-packed alphabet entries.  XLA unpacks
+  after the kernel.
+
+State-transition maths is bit-identical to ``rANS_word.h``
+(reference: htscodecs/rANS_word.h:281-321,356-410; L = 1<<15, 16-bit
+renorm); the 4-quarter order-1 layout and lane-3 tail mirror
+htscodecs/rANS_static4x16pr.c:1024-1114.  Byte-exactness is asserted
+against the v2 engines and the C oracles in tests/test_rans_vmem.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import rans_v2
+
+RANS_L = 1 << 15
+BT = 128          # blocks per tile (minor dim = 128 VPU lanes)
+CW = 128          # window anchor granularity (words)
+W = 2 * CW        # renorm window width (words)
+CW2 = CW // 2     # i32 rows per anchor (2 words per row)
+W2 = W // 2       # i32 rows per window
+PER = CW // 4     # steps per window refill: off <= CW-1 + 4*PER < W
+P4 = PER // 4     # packed u32 output rows per grid step
+PACK_B = 13       # bits per packed table entry (values <= 4096)
+PACK_M = (1 << PACK_B) - 1
+# words-per-block bucket granularity (caps jit variants; the whole
+# stream lives in VMEM so NW also gates routing, see fits())
+NW_STEP = 1024
+NW_MAX = 24576    # (NW/2+CW) i32 rows * BT * 4 B ~= 6.5 MB VMEM
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def fits(A: int, n_words: int) -> bool:
+    """Can a batch with this alphabet/stream size use the VMEM engine?"""
+    return A <= rans_v2.MAX_DENSE_A and n_words <= NW_MAX
+
+
+# ---------------------------------------------------------------------------
+# Kernel builder
+
+
+def _build_kernel(A: int, NP: int, AP: int, NC2: int, q: int, K: int,
+                  order: int):
+    """One (alphabet, stream-bucket, block-geometry) kernel.
+
+    Refs:
+      x0_ref    (4, BT) u32     initial states (lane rows)
+      sh_ref    (1, 4, BT) i32  per-block shift, lane-tiled
+      words_ref (NWp2, BT) i32  word stream: 2 u16 words per entry,
+                transposed, padded
+      tbl_ref   (Ac, NP, 4*BT) i32  pair-packed cumulative bases,
+                lane-tiled (Ac = A for order 1, 1 for order 0)
+      alpha_ref (AP, 4, BT) i32 dense index -> byte, 4 bytes per entry
+      out_ref   (P4, 4, BT) u32 4 decoded bytes per entry (LE by step)
+      xs/pq/cx  scratch: states (1,4BT) u32 / word ptr (1,BT) i32 /
+                context (1,4BT) i32
+    """
+    M = 4 * BT
+
+    def kernel(x0_ref, sh_ref, words_ref, tbl_ref, alpha_ref, out_ref,
+               xs, pq, cx):
+        L = jnp.uint32(RANS_L)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            xs[:] = x0_ref[:].reshape(1, M)
+            pq[:] = jnp.zeros((1, BT), jnp.int32)
+            cx[:] = jnp.zeros((1, M), jnp.int32)
+
+        shr = sh_ref[:].reshape(1, M).astype(jnp.uint32)
+        mask = (jnp.uint32(1) << shr) - 1
+        # lane-3 mask in the folded minor (l*BT + b)
+        lane3 = lax.broadcasted_iota(jnp.int32, (1, M), 1) >= 3 * BT
+
+        # ---- window refill: one-hot chain over CW-word anchors ----
+        p = pq[:]                                        # (1, BT) i32
+        c0 = jnp.minimum(p // CW, NC2 - 1)               # (1, BT)
+        win = words_ref[(NC2 - 1) * CW2:(NC2 - 1) * CW2 + W2, :]
+        for r in range(NC2 - 1):
+            seg = words_ref[r * CW2:r * CW2 + W2, :]
+            win = jnp.where(c0 == r, seg, win)
+        base = c0 * CW                                   # (1, BT) words
+
+        Ac = tbl_ref.shape[0]
+        tbl = tbl_ref[:].reshape(Ac, NP, M)
+        alpha = alpha_ref[:].reshape(AP, M)
+
+        iota_np = lax.broadcasted_iota(jnp.int32, (NP, M), 0)
+        lo_idx = 2 * iota_np                             # pair -> entry
+        hi_idx = 2 * iota_np + 1
+        iota_w = lax.broadcasted_iota(jnp.int32, (W2, BT), 0)
+        BIG = jnp.int32(1 << 25)
+
+        def step(u, X, ctx, p, acc):
+            s = j * PER + u
+            if order == 1:
+                act = (s < q) | (lane3 & (s < K))
+            else:
+                act = jnp.broadcast_to(s < K, (1, M))
+            m = (X & mask).astype(jnp.int32)             # (1, M)
+
+            # ---- context row fetch: where-chain over packed pairs ----
+            if order == 1:
+                row = tbl[A - 1]
+                for a in range(A - 2, -1, -1):
+                    row = jnp.where(ctx == a, tbl[a], row)
+            else:
+                row = tbl[0]                             # (NP, M) i32
+            lo = row & PACK_M
+            hi = row >> PACK_B
+
+            # ---- slot -> symbol resolve on the packed pairs ----
+            # entries are monotone nondecreasing; symd = max index k<A
+            # with base[k] <= m.  Entry A (the appended 1<<shift
+            # column) and the zero pad at A+1 are excluded by the
+            # index guards.
+            ok_lo = (lo <= m) & (lo_idx < A)
+            ok_hi = (hi <= m) & (hi_idx < A)
+            symd = jnp.maximum(
+                jnp.max(jnp.where(ok_lo, lo_idx, 0), axis=0, keepdims=True),
+                jnp.max(jnp.where(ok_hi, hi_idx, 0), axis=0, keepdims=True))
+            b = jnp.maximum(
+                jnp.max(jnp.where(ok_lo, lo, 0), axis=0, keepdims=True),
+                jnp.max(jnp.where(ok_hi, hi, 0), axis=0, keepdims=True))
+            # freq = successor base - base; successor entries of a
+            # decodable symbol are strictly greater (see _b16_fill);
+            # the pad entry (index A+1, value 0) is guarded out
+            gt_lo = lo_idx > symd                        # lo_idx <= A
+            gt_hi = (hi_idx > symd) & (hi_idx <= A)
+            nxt = jnp.minimum(
+                jnp.min(jnp.where(gt_lo, lo, BIG), axis=0, keepdims=True),
+                jnp.min(jnp.where(gt_hi, hi, BIG), axis=0, keepdims=True))
+            bu = b.astype(jnp.uint32)
+            fu = (nxt - b).astype(jnp.uint32)
+
+            # ---- state advance + renorm word claim ----
+            Xn = fu * (X >> shr) + m.astype(jnp.uint32) - bu
+            need = (Xn < L) & act
+            ni = need.astype(jnp.int32).reshape(4, BT)
+            e1 = ni[0:1]
+            e2 = e1 + ni[1:2]
+            e3 = e2 + ni[2:3]
+            tot = e3 + ni[3:4]                           # (1, BT)
+            excl = jnp.concatenate(
+                [jnp.zeros((1, BT), jnp.int32), e1, e2, e3], axis=0)
+            offb = (p - base) + excl                     # (4, BT) words
+            sel = jnp.where(ni > 0, offb, 2 * W)
+            wrows = []
+            for l in range(4):
+                s2 = sel[l:l + 1, :]
+                ohw = iota_w == (s2 >> 1)                # (W2, BT)
+                # one-hot SUM, not max: the packed entry is negative
+                # when the high word has bit 15 set
+                pick = jnp.sum(jnp.where(ohw, win, 0),
+                               axis=0, keepdims=True)
+                wrows.append((pick >> (16 * (s2 & 1))) & 0xFFFF)
+            wv = jnp.concatenate(wrows, axis=0).reshape(1, M)
+            Xn = jnp.where(need,
+                           (Xn << 16) | wv.astype(jnp.uint32), Xn)
+            X = jnp.where(act, Xn, X)
+            p = p + tot
+            ctx = jnp.where(act, symd, ctx)
+
+            # ---- byte output: packed-alpha fetch, 4 steps per u32 ----
+            grp = symd >> 2
+            ap = alpha[0:1, :]
+            for g in range(1, AP):
+                ap = jnp.where(grp == g, alpha[g:g + 1, :], ap)
+            byte = (ap >> (8 * (symd & 3))) & 0xFF
+            acc = acc | (byte.astype(jnp.uint32) << (8 * (u % 4)))
+            return X, ctx, p, acc
+
+        X = xs[:]
+        ctx = cx[:]
+        p = pq[:]
+        for r4 in range(P4):
+            acc = jnp.zeros((1, M), jnp.uint32)
+            for k in range(4):
+                X, ctx, p, acc = step(r4 * 4 + k, X, ctx, p, acc)
+            out_ref[r4] = acc.reshape(4, BT)
+        xs[:] = X
+        cx[:] = ctx
+        pq[:] = p
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# XLA wrapper: table prep -> Pallas scan -> unpack
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("A", "NC2", "q", "K", "N", "order", "interpret"))
+def _dec_vmem(statesT, words, packed, alphaT, shiftv,
+              A: int, NC2: int, q: int, K: int, N: int, order: int,
+              interpret: bool = False):
+    """statesT (4, B) u32; words (B, Wd) u16; packed (B,A,A) i32
+    (order-0 (B,A)); alphaT (A, B) u8; shiftv (B,) i32.
+    Returns (B, N) u8."""
+    B = statesT.shape[1]
+    NB = B // BT
+    M = 4 * BT
+    KO = _cdiv(K, PER)
+    NWp2 = NC2 * CW2 + W2
+
+    # pair-packed i32 tables from the b16 monotone fill, lane-tiled
+    bfe = rans_v2._b16_fill(
+        packed if order == 1 else packed[:, None, :], shiftv)
+    Ac = bfe.shape[1]
+    A1 = A + 1
+    NP = _cdiv(A1, 2)
+    pad = 2 * NP - A1
+    if pad:
+        bfe = jnp.concatenate(
+            [bfe, jnp.zeros((B, Ac, pad), jnp.int32)], axis=2)
+    pairs = bfe.reshape(B, Ac, NP, 2)
+    tbl = pairs[..., 0] | (pairs[..., 1] << PACK_B)      # (B, Ac, NP)
+    # lane-tiled 4D: (Ac, NP, lane, B) — the block axis must stay the
+    # rightmost dim so BlockSpec tiling picks whole lanes per tile
+    tbl = jnp.broadcast_to(
+        jnp.transpose(tbl, (1, 2, 0))[:, :, None, :], (Ac, NP, 4, B))
+
+    # word stream: 2 u16 per i32 row, transposed, padded
+    Wd = words.shape[1]
+    Wde = _cdiv(Wd, 2) * 2
+    wp = jnp.zeros((B, 2 * NWp2), jnp.int32)
+    wp = wp.at[:, :Wd].set(words.astype(jnp.int32))
+    w2 = wp[:, 0::2] | (wp[:, 1::2] << 16)               # (B, NWp2)
+    del Wde
+    wordsP = jnp.transpose(w2, (1, 0))
+
+    sh3 = jnp.broadcast_to(shiftv.astype(jnp.int32)[None, None, :],
+                           (1, 4, B))
+    # alphabet bytes packed 4 per i32, lane-tiled
+    AP = _cdiv(A, 4)
+    alw = jnp.zeros((4 * AP, B), jnp.int32)
+    alw = alw.at[:A].set(alphaT.astype(jnp.int32))
+    al4 = alw.reshape(AP, 4, B)
+    alP = (al4[:, 0] | (al4[:, 1] << 8) | (al4[:, 2] << 16)
+           | (al4[:, 3] << 24))                          # (AP, B)
+    alP = jnp.broadcast_to(alP[:, None, :], (AP, 4, B))
+
+    kern = _build_kernel(A, NP, AP, NC2, q, K, order)
+    out = pl.pallas_call(
+        kern,
+        grid=(NB, KO),
+        in_specs=[
+            pl.BlockSpec((4, BT), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, BT), lambda i, j: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NWp2, BT), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ac, NP, 4, BT), lambda i, j: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((AP, 4, BT), lambda i, j: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((P4, 4, BT), lambda i, j: (j, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((KO * P4, 4, B), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((1, M), jnp.uint32),
+            pltpu.VMEM((1, BT), jnp.int32),
+            pltpu.VMEM((1, M), jnp.int32),
+        ],
+        interpret=interpret,
+    )(statesT, sh3, wordsP, tbl, alP)
+
+    # unpack 4 bytes/u32 -> (K', 4, B) byte matrix in step order
+    ks = [((out >> (8 * k)) & 0xFF).astype(jnp.uint8) for k in range(4)]
+    byts = jnp.stack(ks, axis=1).reshape(KO * PER, 4, B)
+    if order == 1:
+        main = jnp.transpose(byts[:q], (2, 1, 0)).reshape(B, 4 * q)
+        if 4 * q >= N:
+            return main[:, :N]
+        tailp = jnp.transpose(byts[q:K, 3, :], (1, 0))
+        return jnp.concatenate([main, tailp[:, :N - 4 * q]], axis=1)
+    flat = jnp.transpose(byts[:K], (2, 0, 1)).reshape(B, K * 4)
+    return flat[:, :N]
+
+
+# ---------------------------------------------------------------------------
+# Batch entry points (same signature family as rans_v2.dec_o*_batch)
+
+
+def _prep(states, words, alpha, packed, shift):
+    states, words, alpha, packed, B = rans_v2._pad128(
+        np.asarray(states), np.asarray(words),
+        np.asarray(alpha), np.asarray(packed))
+    Bp = states.shape[0]
+    if isinstance(shift, (int, np.integer)):
+        shiftv = np.full((Bp,), int(shift), np.int32)
+    else:
+        shiftv = np.zeros((Bp,), np.int32)
+        sa = np.asarray(shift, np.int32)
+        shiftv[:len(sa)] = sa
+        shiftv[len(sa):] = sa[0] if len(sa) else 12
+    NC2 = max(_cdiv(_cdiv(words.shape[1], NW_STEP) * NW_STEP, CW), 1)
+    return states, words, alpha, packed, shiftv, B, NC2
+
+
+def dec_o1_batch(states, words, out_sz: int, alpha, packed, shift,
+                 interpret: bool = False):
+    """Batched order-1 decode, VMEM engine.  Mirrors
+    rans_v2.dec_o1_batch; ``shift`` may be an int or a (B,) vector."""
+    q = out_sz >> 2
+    K = q + (out_sz - 4 * q)
+    states, words, alpha, packed, shiftv, B, NC2 = _prep(
+        states, words, alpha, packed, shift)
+    out = _dec_vmem(
+        jnp.asarray(states.astype(np.uint32).T),
+        jnp.asarray(words.astype(np.uint16)),
+        jnp.asarray(packed), jnp.asarray(alpha.T), jnp.asarray(shiftv),
+        packed.shape[1], NC2, q, K, out_sz, 1, interpret=interpret)
+    return np.asarray(out)[:B]
+
+
+def dec_o0_batch(states, words, out_sz: int, alpha, packed,
+                 shift=12, interpret: bool = False):
+    q = -(-out_sz // 4)
+    states, words, alpha, packed, shiftv, B, NC2 = _prep(
+        states, words, alpha, packed, shift)
+    out = _dec_vmem(
+        jnp.asarray(states.astype(np.uint32).T),
+        jnp.asarray(words.astype(np.uint16)),
+        jnp.asarray(packed), jnp.asarray(alpha.T), jnp.asarray(shiftv),
+        packed.shape[1], NC2, q, q, out_sz, 0, interpret=interpret)
+    return np.asarray(out)[:B]
