@@ -129,7 +129,7 @@ def bench_corpus(name, blocks, check_exact=True):
     import jax
     import jax.numpy as jnp
     from htscodecs_tpu import native
-    from htscodecs_tpu.ops import rans_v2, tables_v2
+    from htscodecs_tpu.ops import rans_v2, rans_vmem, tables_v2
     from htscodecs_tpu.models import rans4x16
     from htscodecs_tpu.utils import varint
 
@@ -149,9 +149,14 @@ def bench_corpus(name, blocks, check_exact=True):
         if st is None:
             return None
         alpha_d, packed_d, fhdr_d, meta_d, _H, _A = st
-        st_d, w_d, n_d, ovf = rans_v2._enc_scan_v2_pb(
-            jb, alpha_d, packed_d, meta_d[:, 1], 1, seg_cap=seg_cap,
-            row_fetch=row_fetch)
+        if row_fetch == "vmem":
+            st_d, w_d, n_d, ovf = rans_vmem._enc_vmem(
+                jb, alpha_d, packed_d, meta_d[:, 1].astype(jnp.int32),
+                Nc, 1, seg_cap)
+        else:
+            st_d, w_d, n_d, ovf = rans_v2._enc_scan_v2_pb(
+                jb, alpha_d, packed_d, meta_d[:, 1], 1, seg_cap=seg_cap,
+                row_fetch=row_fetch)
         # host work below overlaps the dispatched device scan
         meta = np.asarray(meta_d)
         fhdr = np.asarray(fhdr_d)
@@ -180,25 +185,32 @@ def bench_corpus(name, blocks, check_exact=True):
         if not _ovf:
             break
 
-    # ---- autotune the encode row-fetch formulation (byte-exact
-    # variants; wide alphabets favour 'b16' — half the table HBM
-    # traffic; real-chip q40 sweep: 284.1 vs onehot 247.0 MB/s) ----
+    # ---- autotune the encode formulation (byte-exact variants; the
+    # round-3 real-chip sweeps: VMEM Pallas kernel dominates, 'b16'
+    # halves XLA table traffic at wide A) ----
     if ("enc", A_pad) in _TUNE_CACHE:
         enc_rf = _TUNE_CACHE[("enc", A_pad)]
     else:
-        enc_rf = "onehot"
-        if A_pad > 8:
-            _c = enc_pipeline(seg_cap, "b16")          # warm 'b16'
-            t_b16 = _c[0]
-            del _c
-            _c = enc_pipeline(seg_cap, "onehot")
-            t_oh = _c[0]
-            del _c
-            _c = enc_pipeline(seg_cap, "b16")
-            t_b16 = min(t_b16, _c[0])
-            del _c
-            if t_b16 < t_oh:
-                enc_rf = "b16"
+        cands = ["vmem", "onehot"] if A_pad <= 8 else ["vmem", "b16"]
+        best = None
+        for rf_c in cands:
+            try:
+                _c = enc_pipeline(seg_cap, rf_c)       # warm (compiles)
+                del _c
+                _c = enc_pipeline(seg_cap, rf_c)
+                t_c = _c[0]
+                del _c
+            except Exception as e:
+                print(json.dumps({"tune": f"{name}:enc", "variant": rf_c,
+                                  "error": str(e)[:160]}),
+                      file=sys.stderr, flush=True)
+                continue
+            print(json.dumps({"tune": f"{name}:enc", "variant": rf_c,
+                              "t_s": round(t_c, 3)}), file=sys.stderr,
+                  flush=True)
+            if best is None or t_c < best[0]:
+                best = (t_c, rf_c)
+        enc_rf = best[1]
         _TUNE_CACHE[("enc", A_pad)] = enc_rf
     r = enc_pipeline(seg_cap, enc_rf)     # steady state: best of two
     t_enc = r[0]
@@ -238,10 +250,23 @@ def bench_corpus(name, blocks, check_exact=True):
 
     w_trim = w_d[:, :cap]
     shiftv = meta_d[:, 1]
+    # VMEM-engine decode inputs (transposed states/alpha, u16 words)
+    NWc = max(int(rans_vmem._cdiv(
+        rans_vmem._cdiv(cap, rans_vmem.NW_STEP) * rans_vmem.NW_STEP,
+        rans_vmem.CW)), 1)
+    st_T = jnp.transpose(st_d.astype(jnp.uint32), (1, 0))
+    al_T = jnp.transpose(alpha_d, (1, 0))
+    w16 = w_trim.astype(jnp.uint16)
+    sh32 = shiftv.astype(jnp.int32)
 
     def dec_pipeline(rf, wn):
         t0 = time.time()
-        out = dec(st_d, w_trim, packed_d, alpha_d, shiftv, cap, rf, wn)
+        if rf == "vmem":
+            out = rans_vmem._dec_vmem(st_T, w16, packed_d, al_T, sh32,
+                                      A_pad, NWc, q, q, Nc, 1)
+        else:
+            out = dec(st_d, w_trim, packed_d, alpha_d, shiftv, cap,
+                      rf, wn)
         # host parses every block header while the device decodes
         for h in hdrs:
             native.parse_tables_o1_dense(h + b"\x00" * 16)
@@ -261,14 +286,15 @@ def bench_corpus(name, blocks, check_exact=True):
         # q40 342.6 vs 326.7), w128u4 ties w128 at small A; take/fma/
         # mxu and the fine windows are dominated.
         if A_pad > 8:
-            dec_cands = [("b16", "w128"), ("b16", "coarse")]
+            dec_cands = [("vmem", "-"), ("b16", "w128")]
         else:
-            dec_cands = [("onehot", "w128"), ("onehot", "w128u4"),
-                         ("onehot", "coarse")]
+            dec_cands = [("vmem", "-"), ("onehot", "w128")]
         best = None
         for rf, wn in dec_cands:
-            dec_pipeline(rf, wn)              # warm (compiles)
-            t, _ = dec_pipeline(rf, wn)
+            _w0, out0 = dec_pipeline(rf, wn)  # warm (compiles)
+            del out0
+            t, _o1 = dec_pipeline(rf, wn)
+            del _o1
             print(json.dumps({"tune": f"{name}:dec", "variant": f"{rf}/{wn}",
                               "t_s": round(t, 3)}), file=sys.stderr,
                   flush=True)
@@ -285,15 +311,24 @@ def bench_corpus(name, blocks, check_exact=True):
     t_dec = min(t_dec, dtd)
 
     if PROFILE:
-        _cost_analysis(
-            dec.lower(st_d, w_trim, packed_d, alpha_d, shiftv, cap,
-                      dec_rf, dec_wn).compile(),
-            t_dec, f"{name}:dec", {"variant": f"{dec_rf}/{dec_wn}"})
-        _cost_analysis(
-            rans_v2._enc_scan_v2_pb.lower(
+        if dec_rf == "vmem":
+            dec_l = rans_vmem._dec_vmem.lower(
+                st_T, w16, packed_d, al_T, sh32, A_pad, NWc, q, q, Nc, 1)
+        else:
+            dec_l = dec.lower(st_d, w_trim, packed_d, alpha_d, shiftv,
+                              cap, dec_rf, dec_wn)
+        _cost_analysis(dec_l.compile(), t_dec, f"{name}:dec",
+                       {"variant": f"{dec_rf}/{dec_wn}"})
+        if enc_rf == "vmem":
+            enc_l = rans_vmem._enc_vmem.lower(
+                jb, alpha_d, packed_d, meta_d[:, 1].astype(jnp.int32),
+                Nc, 1, seg_cap)
+        else:
+            enc_l = rans_v2._enc_scan_v2_pb.lower(
                 jb, alpha_d, packed_d, meta_d[:, 1], 1,
-                seg_cap=seg_cap, row_fetch=enc_rf).compile(),
-            t_enc, f"{name}:enc", {"variant": enc_rf})
+                seg_cap=seg_cap, row_fetch=enc_rf)
+        _cost_analysis(enc_l.compile(), t_enc, f"{name}:enc",
+                       {"variant": enc_rf})
         try:
             with jax.profiler.trace(_trace_dir()):
                 enc_pipeline(seg_cap, enc_rf)

@@ -123,6 +123,59 @@ def main():
             print(json.dumps({"corpus": name, "engine": "vmem",
                               "error": str(e)[:300]}), flush=True)
 
+        # ---- encode: XLA scan vs VMEM kernel ----
+        try:
+            del out, out2
+        except NameError:
+            pass
+        del w_d, w_trim
+        t = 1e9
+        for _ in range(2):
+            try:
+                del r
+            except NameError:
+                pass
+            t0 = time.time()
+            r = rans_v2._enc_scan_v2_pb(jb, alpha_d, packed_d,
+                                        meta_d[:, 1], 1, seg_cap=cap_t,
+                                        row_fetch=rf)
+            np.asarray(jnp.sum(r[2]))
+            t = min(t, time.time() - t0)
+        ref_x = np.asarray(r[0]); ref_n = np.asarray(r[2])
+        del r
+        print(json.dumps({"corpus": name, "engine": f"v2-enc:{rf}",
+                          "enc_s": round(t, 3),
+                          "enc_MBps": round(total_mb / t, 1)}),
+              flush=True)
+        try:
+            from htscodecs_tpu.ops import rans_vmem as rvm
+            shv = meta_d[:, 1].astype(jnp.int32)
+            t0 = time.time()
+            r2 = rvm._enc_vmem(jb, alpha_d, packed_d, shv, N, 1, cap_t)
+            np.asarray(jnp.sum(r2[2]))
+            t_compile = time.time() - t0
+            t = 1e9
+            for _ in range(2):
+                del r2
+                t0 = time.time()
+                r2 = rvm._enc_vmem(jb, alpha_d, packed_d, shv, N, 1,
+                                   cap_t)
+                np.asarray(jnp.sum(r2[2]))
+                t = min(t, time.time() - t0)
+            same_x = bool((np.asarray(r2[0]) == ref_x).all())
+            same_n = bool((np.asarray(r2[2]) == ref_n).all())
+            ovf = bool(np.asarray(r2[3]))
+            del r2
+            print(json.dumps({"corpus": name, "engine": "vmem-enc",
+                              "compile_s": round(t_compile, 1),
+                              "enc_s": round(t, 3),
+                              "enc_MBps": round(total_mb / t, 1),
+                              "states_eq": same_x, "counts_eq": same_n,
+                              "overflow": ovf}), flush=True)
+        except Exception as e:
+            print(json.dumps({"corpus": name, "engine": "vmem-enc",
+                              "error": str(e)[:300]}), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -741,12 +741,39 @@ def _pad128(states, words, alpha, packed):
             np.concatenate([packed, rep[3]]), B)
 
 
+@functools.lru_cache(maxsize=1)
+def _vmem_engine_ok() -> bool:
+    """The Pallas VMEM engine (ops/rans_vmem.py) dominates the XLA
+    scans on real TPU hardware (round-3 chip sweep: q40 931 vs 343
+    MB/s, synth4 2649 vs 1648) but needs a Mosaic backend — route to
+    it by default only on TPU-class platforms."""
+    if os.environ.get("HTSCODECS_TPU_NO_VMEM", "") == "1":
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _route_vmem(rf: str, A: int, n_words: int) -> bool:
+    if rf == "vmem":
+        return True
+    from . import rans_vmem
+    return (rf == "auto" and _vmem_engine_ok()
+            and rans_vmem.fits(A, n_words))
+
+
 def dec_o1_batch(states, words, out_sz: int, alpha, packed, shift: int):
     """Batched order-1 decode (dense path).
 
     states (B,4) u32; words (B,W) u16; alpha (B,A) u8; packed (B,A,A)
     i32.  Returns (B, out_sz) u8.
     """
+    if _route_vmem(_DEC_VARIANT["row_fetch"], packed.shape[1],
+                   words.shape[1]):
+        from . import rans_vmem
+        return rans_vmem.dec_o1_batch(states, words, out_sz, alpha,
+                                      packed, shift)
     q = out_sz >> 2
     K = q + (out_sz - 4 * q)
     states, words, alpha, packed, B = _pad128(
@@ -762,6 +789,11 @@ def dec_o1_batch(states, words, out_sz: int, alpha, packed, shift: int):
 
 def dec_o0_batch(states, words, out_sz: int, alpha, packed,
                  shift: int = 12):
+    if _route_vmem(_DEC_VARIANT["row_fetch"], packed.shape[1],
+                   words.shape[1]):
+        from . import rans_vmem
+        return rans_vmem.dec_o0_batch(states, words, out_sz, alpha,
+                                      packed, shift)
     q = -(-out_sz // 4)
     states, words, alpha, packed, B = _pad128(
         np.asarray(states), np.asarray(words),
@@ -776,6 +808,80 @@ def dec_o0_batch(states, words, out_sz: int, alpha, packed,
 
 # ---------------------------------------------------------------------------
 # Encode
+
+def _enc_proc_inputs(dense, N: int, order: int):
+    """Processing-order scan inputs for the reverse encode scan.
+
+    dense (B, N) i32 alphabet indices -> (sym_p, ctx_p (K,4,B) u8,
+    valid (K,4,B) bool, K, geom) with lanes flipped to the encoder's
+    state-3-first processing order.  geom is the order-1 lane-3 tail
+    length or the order-0 first-step pad count — validity is a pure
+    function of (step, lane, geom), which lets kernels recompute it
+    instead of streaming the valid array.  Shared by the XLA scan
+    (_enc_scan_impl) and the Pallas VMEM engine (ops/rans_vmem.py).
+    Mirrors htscodecs/rANS_static4x16pr.c:786-846 (main quarters,
+    state-3 tail, context-0 quarter leaders)."""
+    B = dense.shape[0]
+    # dense indices are < MAX_DENSE_A < 256: narrow before the big
+    # reverse-transpose builds so they move u8, not i32 (4x traffic)
+    dense = dense.astype(jnp.uint8)
+    if order == 1:
+        q = N >> 2
+        tail = N - 4 * q
+        D4 = dense[:, :4 * q].reshape(B, 4, q)
+        # main steps (processing order k = q-2..0): ctx D4[:,:,k],
+        # sym D4[:,:,k+1] — built as (K, 4, B)
+        sym_main = jnp.transpose(D4[:, :, 1:][:, :, ::-1], (2, 1, 0))
+        ctx_main = jnp.transpose(D4[:, :, :-1][:, :, ::-1], (2, 1, 0))
+        # tail steps s=0..tail-1 (lane 3): sym dense[N-1-s], ctx dense[N-2-s]
+        if tail:
+            idx = N - 1 - jnp.arange(tail)
+            st3 = dense[:, idx]                               # (B, tail)
+            ct3 = dense[:, idx - 1]
+            sym_t = jnp.zeros((tail, 4, B), jnp.uint8).at[:, 3, :].set(st3.T)
+            ctx_t = jnp.zeros((tail, 4, B), jnp.uint8).at[:, 3, :].set(ct3.T)
+            parts_s = [sym_t, sym_main]
+            parts_c = [ctx_t, ctx_main]
+        else:
+            parts_s = [sym_main]
+            parts_c = [ctx_main]
+        # final step: sym D4[:,:,0], ctx 0
+        parts_s.append(jnp.transpose(D4[:, :, 0], (1, 0))[None])
+        parts_c.append(jnp.zeros((1, 4, B), jnp.uint8))
+        sym_p = jnp.concatenate(parts_s, axis=0)              # (K,4,B)
+        ctx_p = jnp.concatenate(parts_c, axis=0)
+        K = tail + q
+        valid = jnp.ones((K, 4, B), bool)
+        if tail:
+            v = jnp.zeros((tail, 4), bool).at[:, 3].set(True)
+            valid = valid.at[:tail].set(
+                jnp.broadcast_to(v[:, :, None], (tail, 4, B)))
+        geom = tail
+    else:
+        K = -(-N // 4)
+        pad = K * 4 - N
+        dpad = jnp.pad(dense, ((0, 0), (0, pad)))
+        sy = dpad.reshape(B, K, 4)
+        sym_p = jnp.transpose(sy, (1, 2, 0))[::-1, ::-1, :]   # (K,4,B)
+        ctx_p = jnp.zeros_like(sym_p)
+        valid = jnp.ones((K, 4, B), bool)
+        if pad:
+            vlast = jnp.zeros((4,), bool).at[4 - pad:].set(True)
+            # processing order flips lanes: padded lanes are first
+            valid = valid.at[0].set(
+                jnp.broadcast_to(~vlast[::-1][:, None], (4, B)))
+        sym_p = jnp.where(valid, sym_p, jnp.uint8(0))
+        geom = pad
+
+    if order == 1:
+        # processing order within a step is state 3 first
+        sym_p = sym_p[:, ::-1, :]
+        ctx_p = ctx_p[:, ::-1, :]
+        valid = valid[:, ::-1, :]
+    # keep the big (K,4,B) scan inputs compact (A <= MAX_DENSE_A < 256)
+    return (sym_p.astype(jnp.uint8), ctx_p.astype(jnp.uint8), valid,
+            K, geom)
+
 
 def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
                    seg_cap: int = SEG_CAP, row_fetch: str = "onehot",
@@ -828,60 +934,7 @@ def _enc_scan_impl(blocks, alpha, packed, shift, order: int,
     else:
         packedT = jnp.transpose(packed, (1, 0))[:, None, :]   # (A,1,B)
 
-    if order == 1:
-        q = N >> 2
-        tail = N - 4 * q
-        D4 = dense[:, :4 * q].reshape(B, 4, q)
-        # main steps (processing order k = q-2..0): ctx D4[:,:,k],
-        # sym D4[:,:,k+1] — built as (K, 4, B)
-        sym_main = jnp.transpose(D4[:, :, 1:][:, :, ::-1], (2, 1, 0))
-        ctx_main = jnp.transpose(D4[:, :, :-1][:, :, ::-1], (2, 1, 0))
-        # tail steps s=0..tail-1 (lane 3): sym dense[N-1-s], ctx dense[N-2-s]
-        if tail:
-            idx = N - 1 - jnp.arange(tail)
-            st3 = dense[:, idx]                               # (B, tail)
-            ct3 = dense[:, idx - 1]
-            sym_t = jnp.zeros((tail, 4, B), jnp.int32).at[:, 3, :].set(st3.T)
-            ctx_t = jnp.zeros((tail, 4, B), jnp.int32).at[:, 3, :].set(ct3.T)
-            parts_s = [sym_t, sym_main]
-            parts_c = [ctx_t, ctx_main]
-        else:
-            parts_s = [sym_main]
-            parts_c = [ctx_main]
-        # final step: sym D4[:,:,0], ctx 0
-        parts_s.append(jnp.transpose(D4[:, :, 0], (1, 0))[None])
-        parts_c.append(jnp.zeros((1, 4, B), jnp.int32))
-        sym_p = jnp.concatenate(parts_s, axis=0)              # (K,4,B)
-        ctx_p = jnp.concatenate(parts_c, axis=0)
-        K = tail + q
-        valid = jnp.ones((K, 4, B), bool)
-        if tail:
-            v = jnp.zeros((tail, 4), bool).at[:, 3].set(True)
-            valid = valid.at[:tail].set(
-                jnp.broadcast_to(v[:, :, None], (tail, 4, B)))
-    else:
-        K = -(-N // 4)
-        pad = K * 4 - N
-        dpad = jnp.pad(dense, ((0, 0), (0, pad)))
-        sy = dpad.reshape(B, K, 4)
-        sym_p = jnp.transpose(sy, (1, 2, 0))[::-1, ::-1, :]   # (K,4,B)
-        ctx_p = jnp.zeros_like(sym_p)
-        valid = jnp.ones((K, 4, B), bool)
-        if pad:
-            vlast = jnp.zeros((4,), bool).at[4 - pad:].set(True)
-            # processing order flips lanes: padded lanes are first
-            valid = valid.at[0].set(
-                jnp.broadcast_to(~vlast[::-1][:, None], (4, B)))
-        sym_p = jnp.where(valid, sym_p, 0)
-
-    if order == 1:
-        # processing order within a step is state 3 first
-        sym_p = sym_p[:, ::-1, :]
-        ctx_p = ctx_p[:, ::-1, :]
-        valid = valid[:, ::-1, :]
-    # keep the big (K,4,B) scan inputs compact (A <= MAX_DENSE_A < 256)
-    sym_p = sym_p.astype(jnp.uint8)
-    ctx_p = ctx_p.astype(jnp.uint8)
+    sym_p, ctx_p, valid, K, _geom = _enc_proc_inputs(dense, N, order)
 
     x0 = jnp.full((4, B), RANS_L, dtype=jnp.uint32)
     if isinstance(shift, int):
@@ -1017,6 +1070,12 @@ def _enc_with_fallback(blocks, alpha, packed, shift: int, order: int):
     # the take row fetch only exists for order 1: forwarding it into
     # order-0 encodes would recompile a byte-identical kernel
     rf = _ENC_VARIANT["row_fetch"] if order == 1 else "onehot"
+    if rf == "vmem":          # explicit opt-in (bench autotune)
+        from . import rans_vmem
+        xf, words, n = rans_vmem._enc_batch(
+            np.asarray(blocks), np.asarray(alpha), np.asarray(packed),
+            shift, order, False)
+        return jnp.asarray(xf), jnp.asarray(words), jnp.asarray(n)
     for cap in (SEG_CAP, SEG_CAP2, SEG):
         xf, words, n, ovf = _enc_scan_v2(blocks, alpha, packed, shift,
                                          order, seg_cap=cap,

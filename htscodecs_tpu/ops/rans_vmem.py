@@ -379,3 +379,229 @@ def dec_o0_batch(states, words, out_sz: int, alpha, packed,
         jnp.asarray(packed), jnp.asarray(alpha.T), jnp.asarray(shiftv),
         packed.shape[1], NC2, q, q, out_sz, 0, interpret=interpret)
     return np.asarray(out)[:B]
+
+
+# ---------------------------------------------------------------------------
+# Encode kernel: tables resident in VMEM, processing-order symbol and
+# context streams flowing through per-grid-step blocks, words + emit
+# bitmasks flowing out.  The sort-based compaction stays in XLA
+# (rans_v2._compact_T) — it is batch-wide and already fast.
+
+PER_E = 32        # encode steps per grid step
+PE2 = PER_E // 2  # packed u32 word rows per grid step
+
+
+def _build_enc_kernel(A: int, NP: int, KO: int, K: int, geom: int,
+                      order: int):
+    """Refs:
+      sym_ref / ctx_ref (PER_E, 4, BT) u8  processing-order streams
+      sh_ref   (1, 4, BT) i32   per-block shift, lane-tiled
+      tbl_ref  (Ac, NP, 4, BT) i32  pair-packed cumulative bases
+      w2_ref   (PE2, 4, BT) u32  two emitted words per entry
+      em_ref   (1, 4, BT) u32    emit bitmask (bit u = step u)
+      xf_ref   (4, BT) u32       final states (processing-lane rows)
+      xs       scratch (1, 4*BT) u32
+    """
+    M = 4 * BT
+
+    def kernel(sym_ref, ctx_ref, sh_ref, tbl_ref, w2_ref, em_ref,
+               xf_ref, xs):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            xs[:] = jnp.full((1, M), RANS_L, jnp.uint32)
+
+        shl = sh_ref[:].reshape(1, M).astype(jnp.uint32)
+        xmult = (jnp.uint32(RANS_L) >> shl) << 16
+        Ac = tbl_ref.shape[0]
+        tbl = tbl_ref[:].reshape(Ac, NP, M)
+        # streams are 2D (PER_E*4, BT) u8 — a 3D (PER_E, 4, BT) block
+        # has a 4-wide sublane dim far below u8's 32-sublane tile
+        # granularity, which Mosaic mis-tiles (compiled-only garbage;
+        # interpret mode was exact)
+        syms = sym_ref[:].astype(jnp.int32)
+        ctxs = ctx_ref[:].astype(jnp.int32)
+        # processing-lane index masks in the folded minor (l*BT + b)
+        iota_m = lax.broadcasted_iota(jnp.int32, (1, M), 1)
+        lane0 = iota_m < BT
+        okpad = iota_m >= geom * BT          # order-0 first-step pad
+
+        X = xs[:]
+        eacc = jnp.zeros((1, M), jnp.uint32)
+        for u in range(PER_E):
+            s = j * PER_E + u
+            if order == 1:
+                ok = ((s >= geom) | lane0) & (s < K)
+            else:
+                ok = jnp.broadcast_to(s < K, (1, M))
+                if geom:
+                    ok = ok & ((s > 0) | okpad)
+            sym = jnp.where(ok, syms[4 * u:4 * u + 4].reshape(1, M), 0)
+            # ---- table row by context, then the (sym, sym+1) pair ----
+            if order == 1:
+                ctx = ctxs[4 * u:4 * u + 4].reshape(1, M)
+                row = tbl[A - 1]
+                for a in range(A - 2, -1, -1):
+                    row = jnp.where(ctx == a, tbl[a], row)
+            else:
+                row = tbl[0]
+            g0 = sym >> 1
+            g1 = (sym + 1) >> 1
+            p0 = row[NP - 1:NP]
+            p1 = row[NP - 1:NP]
+            for g in range(NP - 2, -1, -1):
+                rg = row[g:g + 1]
+                p0 = jnp.where(g0 == g, rg, p0)
+                p1 = jnp.where(g1 == g, rg, p1)
+            e0 = jnp.where((sym & 1) == 1, p0 >> PACK_B, p0 & PACK_M)
+            e1 = jnp.where((sym & 1) == 0, p1 >> PACK_B, p1 & PACK_M)
+            start = e0.astype(jnp.uint32)
+            f = (e1 - e0).astype(jnp.uint32)
+            fs = jnp.where(ok, f, jnp.uint32(1))
+            # ---- rANS_word.h encode step (byte-exact) ----
+            emit = (X >= xmult * f) & ok
+            word = X & jnp.uint32(0xFFFF)
+            x2 = jnp.where(emit, X >> 16, X)
+            qq = x2 // fs
+            xn = (qq << shl) + (x2 - qq * fs) + start
+            X = jnp.where(ok, xn, X)
+            eacc = eacc | (emit.astype(jnp.uint32) << u)
+            if u % 2 == 0:
+                wacc = word
+            else:
+                w2_ref[u // 2] = (wacc | (word << 16)).reshape(4, BT)
+        em_ref[0] = eacc.reshape(4, BT)
+        xf_ref[:] = X.reshape(4, BT)
+        xs[:] = X
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("N", "order", "seg_cap", "interpret"))
+def _enc_vmem(blocks, alpha, packed, shiftv, N: int, order: int,
+              seg_cap: int, interpret: bool = False):
+    """VMEM-engine encode: same contract as rans_v2._enc_scan_v2_pb —
+    returns (states (B,4) u32 lane order, words (B,cap) u16 forward,
+    counts (B,) i32, overflow bool)."""
+    B = blocks.shape[0]
+    NB = B // BT
+    dense = rans_v2._densify(blocks, alpha)
+    sym_p, ctx_p, _valid, K, geom = rans_v2._enc_proc_inputs(
+        dense, N, order)
+    KO = _cdiv(K, PER_E)
+    Kp = KO * PER_E
+    if Kp > K:
+        z = jnp.zeros((Kp - K, 4, B), jnp.uint8)
+        sym_p = jnp.concatenate([sym_p, z], axis=0)
+        ctx_p = jnp.concatenate([ctx_p, z], axis=0)
+    sym_p = sym_p.reshape(Kp * 4, B)
+    ctx_p = ctx_p.reshape(Kp * 4, B)
+
+    A = packed.shape[1]
+    bfe = rans_v2._b16_fill(
+        packed if order == 1 else packed[:, None, :], shiftv)
+    Ac = bfe.shape[1]
+    A1 = A + 1
+    NP = _cdiv(A1, 2)
+    pad = 2 * NP - A1
+    if pad:
+        bfe = jnp.concatenate(
+            [bfe, jnp.zeros((B, Ac, pad), jnp.int32)], axis=2)
+    pairs = bfe.reshape(B, Ac, NP, 2)
+    tbl = pairs[..., 0] | (pairs[..., 1] << PACK_B)
+    tbl = jnp.broadcast_to(
+        jnp.transpose(tbl, (1, 2, 0))[:, :, None, :], (Ac, NP, 4, B))
+    sh3 = jnp.broadcast_to(shiftv.astype(jnp.int32)[None, None, :],
+                           (1, 4, B))
+
+    kern = _build_enc_kernel(A, NP, KO, K, int(geom), order)
+    w2, em, xfT = pl.pallas_call(
+        kern,
+        grid=(NB, KO),
+        in_specs=[
+            pl.BlockSpec((PER_E * 4, BT), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PER_E * 4, BT), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, BT), lambda i, j: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ac, NP, 4, BT), lambda i, j: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((PE2, 4, BT), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, BT), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, BT), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((KO * PE2, 4, B), jnp.uint32),
+            jax.ShapeDtypeStruct((KO, 4, B), jnp.uint32),
+            jax.ShapeDtypeStruct((4, B), jnp.uint32),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, 4 * BT), jnp.uint32)],
+        interpret=interpret,
+    )(sym_p, ctx_p, sh3, tbl)
+
+    # unpack words (2 per u32, step = 2*row + parity) and emit bits
+    words = jnp.stack([w2 & 0xFFFF, w2 >> 16],
+                      axis=1).reshape(Kp, 4, B).astype(jnp.uint16)
+    bits = jnp.stack([(em >> k) & 1 for k in range(PER_E)],
+                     axis=1).reshape(Kp, 4, B).astype(bool)
+    # forward order = reverse of processing order; compact in the
+    # scan-native column layout (rans_v2 'col' scheme)
+    wT = words[:K][::-1, ::-1, :].reshape(K * 4, B)
+    eT = bits[:K][::-1, ::-1, :].reshape(K * 4, B)
+    out, n, overflow = rans_v2._compact_T(wT, eT, seg_cap)
+    return jnp.transpose(xfT, (1, 0))[:, ::-1], out, n, overflow
+
+
+def _pad_b(arrs, B):
+    """Pad the leading block axis of every array to a BT multiple with
+    copies of row 0 (decoded/encoded padding rows are discarded)."""
+    Bp = _cdiv(B, BT) * BT
+    if Bp == B:
+        return arrs, B
+    out = []
+    for a in arrs:
+        a = np.asarray(a)
+        rep = np.repeat(a[:1], Bp - B, axis=0)
+        out.append(np.concatenate([a, rep], axis=0))
+    return out, B
+
+
+def enc_o1_batch(blocks, alpha, packed, shift, interpret: bool = False):
+    """Batched order-1 encode, VMEM engine; mirrors
+    rans_v2.enc_o1_batch (+vector shift).  Returns (states, words,
+    counts)."""
+    return _enc_batch(blocks, alpha, packed, shift, 1, interpret)
+
+
+def enc_o0_batch(blocks, alpha, packed, shift=12, interpret: bool = False):
+    return _enc_batch(blocks, alpha, packed, shift, 0, interpret)
+
+
+def _enc_batch(blocks, alpha, packed, shift, order: int, interpret: bool):
+    blocks = np.asarray(blocks)
+    B, N = blocks.shape
+    (blocks, alpha, packed), _ = _pad_b([blocks, alpha, packed], B)
+    Bp = blocks.shape[0]
+    if isinstance(shift, (int, np.integer)):
+        shiftv = np.full((Bp,), int(shift), np.int32)
+    else:
+        shiftv = np.zeros((Bp,), np.int32)
+        sa = np.asarray(shift, np.int32)
+        shiftv[:len(sa)] = sa
+        shiftv[len(sa):] = sa[0] if len(sa) else 12
+    for cap in (rans_v2.SEG_CAP, rans_v2.SEG_CAP2, rans_v2.SEG):
+        xf, words, n, ovf = _enc_vmem(
+            jnp.asarray(blocks), jnp.asarray(alpha), jnp.asarray(packed),
+            jnp.asarray(shiftv), N, order, cap, interpret=interpret)
+        if not bool(np.asarray(ovf)):
+            break
+    return np.asarray(xf)[:B], np.asarray(words)[:B], np.asarray(n)[:B]
