@@ -143,7 +143,7 @@ def bench_corpus(name, blocks, check_exact=True):
     def table_stage():
         return tables_v2.build_o1_device_async(jb)
 
-    def enc_pipeline(seg_cap, row_fetch="onehot"):
+    def enc_pipeline(seg_cap, row_fetch="onehot", hdr_src="d2h"):
         t0 = time.time()
         st = table_stage()
         if st is None:
@@ -159,10 +159,19 @@ def bench_corpus(name, blocks, check_exact=True):
                 row_fetch=row_fetch)
         # host work below overlaps the dispatched device scan
         meta = np.asarray(meta_d)
-        fhdr = np.asarray(fhdr_d)
-        alpha_h = np.asarray(alpha_d)
-        hdrs = native.serialize_o1_dense_batch(
-            alpha_h, meta[:, 0], fhdr, meta[:, 1])
+        if hdr_src == "host":
+            # serialize from host-rebuilt tables (bit-identical native
+            # builder): skips the (B,A,A) u16 header-frequency D2H,
+            # which costs ~1.9 s at A=48 on the ~30 MB/s axon tunnel
+            # (production DMA moves it in ~10 ms, but a many-core host
+            # would overlap this way too)
+            hdrs = [native.build_tables_o1_dense(blocks[b])[0]
+                    for b in range(Bc)]
+        else:
+            fhdr = np.asarray(fhdr_d)
+            alpha_h = np.asarray(alpha_d)
+            hdrs = native.serialize_o1_dense_batch(
+                alpha_h, meta[:, 0], fhdr, meta[:, 1])
         np.asarray(jnp.sum(n_d))          # sync the scan
         dt = time.time() - t0
         return dt, meta, hdrs, alpha_d, packed_d, meta_d, st_d, w_d, \
@@ -189,33 +198,43 @@ def bench_corpus(name, blocks, check_exact=True):
     # round-3 real-chip sweeps: VMEM Pallas kernel dominates, 'b16'
     # halves XLA table traffic at wide A) ----
     if ("enc", A_pad) in _TUNE_CACHE:
-        enc_rf = _TUNE_CACHE[("enc", A_pad)]
+        enc_rf, enc_hdr = _TUNE_CACHE[("enc", A_pad)]
     else:
-        cands = ["vmem", "onehot"] if A_pad <= 8 else ["vmem", "b16"]
+        if A_pad <= 8:
+            # header freqs are tiny at small A: D2H is free
+            cands = [("vmem", "d2h"), ("onehot", "d2h")]
+        else:
+            cands = [("vmem", "host"), ("b16", "host"),
+                     ("vmem", "d2h"), ("b16", "d2h")]
         best = None
-        for rf_c in cands:
+        warmed = set()
+        for rf_c, hd_c in cands:
             try:
-                _c = enc_pipeline(seg_cap, rf_c)       # warm (compiles)
-                del _c
-                _c = enc_pipeline(seg_cap, rf_c)
+                if rf_c not in warmed:                 # warm (compiles)
+                    _c = enc_pipeline(seg_cap, rf_c, hd_c)
+                    del _c
+                    warmed.add(rf_c)
+                _c = enc_pipeline(seg_cap, rf_c, hd_c)
                 t_c = _c[0]
                 del _c
             except Exception as e:
-                print(json.dumps({"tune": f"{name}:enc", "variant": rf_c,
+                print(json.dumps({"tune": f"{name}:enc",
+                                  "variant": f"{rf_c}/{hd_c}",
                                   "error": str(e)[:160]}),
                       file=sys.stderr, flush=True)
                 continue
-            print(json.dumps({"tune": f"{name}:enc", "variant": rf_c,
+            print(json.dumps({"tune": f"{name}:enc",
+                              "variant": f"{rf_c}/{hd_c}",
                               "t_s": round(t_c, 3)}), file=sys.stderr,
                   flush=True)
             if best is None or t_c < best[0]:
-                best = (t_c, rf_c)
-        enc_rf = best[1]
-        _TUNE_CACHE[("enc", A_pad)] = enc_rf
-    r = enc_pipeline(seg_cap, enc_rf)     # steady state: best of two
+                best = (t_c, rf_c, hd_c)
+        enc_rf, enc_hdr = best[1], best[2]
+        _TUNE_CACHE[("enc", A_pad)] = (enc_rf, enc_hdr)
+    r = enc_pipeline(seg_cap, enc_rf, enc_hdr)  # steady: best of two
     t_enc = r[0]
     del r
-    r = enc_pipeline(seg_cap, enc_rf)
+    r = enc_pipeline(seg_cap, enc_rf, enc_hdr)
     t_enc = min(t_enc, r[0])
     dt, meta, hdrs, alpha_d, packed_d, meta_d, st_d, w_d, n_d, ovf = r
     assert not bool(np.asarray(ovf)), f"{name}: compaction overflow"
@@ -291,10 +310,17 @@ def bench_corpus(name, blocks, check_exact=True):
             dec_cands = [("vmem", "-"), ("onehot", "w128")]
         best = None
         for rf, wn in dec_cands:
-            _w0, out0 = dec_pipeline(rf, wn)  # warm (compiles)
-            del out0
-            t, _o1 = dec_pipeline(rf, wn)
-            del _o1
+            try:
+                _w0, out0 = dec_pipeline(rf, wn)  # warm (compiles)
+                del out0
+                t, _o1 = dec_pipeline(rf, wn)
+                del _o1
+            except Exception as e:    # e.g. no Mosaic backend for vmem
+                print(json.dumps({"tune": f"{name}:dec",
+                                  "variant": f"{rf}/{wn}",
+                                  "error": str(e)[:160]}),
+                      file=sys.stderr, flush=True)
+                continue
             print(json.dumps({"tune": f"{name}:dec", "variant": f"{rf}/{wn}",
                               "t_s": round(t, 3)}), file=sys.stderr,
                   flush=True)
@@ -331,7 +357,7 @@ def bench_corpus(name, blocks, check_exact=True):
                        {"variant": enc_rf})
         try:
             with jax.profiler.trace(_trace_dir()):
-                enc_pipeline(seg_cap, enc_rf)
+                enc_pipeline(seg_cap, enc_rf, enc_hdr)
                 dec_pipeline(dec_rf, dec_wn)
             print(json.dumps({"profile": f"{name}:trace",
                               "dir": _trace_dir()}),
@@ -379,7 +405,8 @@ def bench_corpus(name, blocks, check_exact=True):
         "band_flags": nflag, "mismatches": mism,
         "byte_exact": bool(byte_exact),
         "exact_checked": bool(exact_checked) if check_exact else None,
-        "variants": {"enc": enc_rf, "dec": f"{dec_rf}/{dec_wn}"},
+        "variants": {"enc": f"{enc_rf}/{enc_hdr}",
+                     "dec": f"{dec_rf}/{dec_wn}"},
     }
 
 
