@@ -381,30 +381,69 @@ def dec_o0_batch(states, words, out_sz: int, alpha, packed,
     return np.asarray(out)[:B]
 
 
+def _div_u32_small(x2, fs):
+    """Exact unsigned ``x2 // fs`` for x2 < 2^31, 1 <= fs <= 4096.
+
+    Mosaic's native u32 vector division measures ~0.35 s per q40
+    encode pass (~20% of the kernel); this two-stage f32-reciprocal
+    form with integer fixups is ~4x cheaper.  Each stage divides a
+    value < 2^23 (exactly representable in f32), so the f32 quotient
+    is within ~1 ulp of truth even with a sloppy hardware reciprocal;
+    TWO fixup rounds make the result exact for |error| <= 2.  Byte-
+    exactness is asserted on real hardware (interpret-mode tests use
+    XLA's correctly-rounded CPU ops and could mask a divergence)."""
+    f_i = fs.astype(jnp.int32)           # (u32 -> f32 casts are not
+    rf = 1.0 / f_i.astype(jnp.float32)   # lowerable; go via i32)
+
+    def _small_div(v):                   # v i32, 0 <= v < 2^23
+        q = (v.astype(jnp.float32) * rf).astype(jnp.int32)
+        r = v - q * f_i
+        for _ in range(2):
+            under = r < 0
+            q = jnp.where(under, q - 1, q)
+            r = jnp.where(under, r + f_i, r)
+            over = r >= f_i
+            q = jnp.where(over, q + 1, q)
+            r = jnp.where(over, r - f_i, r)
+        return q, r
+
+    a = (x2 >> 11).astype(jnp.int32)     # < 2^20
+    b = (x2 & jnp.uint32(0x7FF)).astype(jnp.int32)
+    qa, ra = _small_div(a)
+    qb, _rb = _small_div((ra << 11) + b)  # < f*2^11 <= 2^23
+    return ((qa << 11) + qb).astype(jnp.uint32)
+
+
 # ---------------------------------------------------------------------------
 # Encode kernel: tables resident in VMEM, processing-order symbol and
-# context streams flowing through per-grid-step blocks, words + emit
-# bitmasks flowing out.  The sort-based compaction stays in XLA
-# (rans_v2._compact_T) — it is batch-wide and already fast.
+# context streams flowing through per-grid-step blocks, the emitted
+# words flowing out segment-locally compacted; only the global
+# placement sort stays in XLA.
 
 PER_E = 32        # encode steps per grid step
-PE2 = PER_E // 2  # packed u32 word rows per grid step
 
 
 def _build_enc_kernel(A: int, NP: int, KO: int, K: int, geom: int,
-                      order: int):
+                      order: int, capk: int):
     """Refs:
-      sym_ref / ctx_ref (PER_E, 4, BT) u8  processing-order streams
+      sym_ref / ctx_ref (PER_E*4, BT) u8  processing-order streams
       sh_ref   (1, 4, BT) i32   per-block shift, lane-tiled
       tbl_ref  (Ac, NP, 4, BT) i32  pair-packed cumulative bases
-      w2_ref   (PE2, 4, BT) u32  two emitted words per entry
-      em_ref   (1, 4, BT) u32    emit bitmask (bit u = step u)
-      xf_ref   (4, BT) u32       final states (processing-lane rows)
+      wloc_ref (capk+8, BT) u16  this grid step's emitted words,
+               segment-locally compacted INTO FORWARD ORDER: emission
+               rank p lands at row capk-1-p, so rows [capk-L, capk)
+               hold the segment's L words already forward-ordered
+               (forward = reverse of emission order; the XLA global
+               stitch only places whole segments).  Row capk carries
+               the segment's emission count (fits u16; a separate
+               (1, BT) count block would violate Mosaic's 8-sublane
+               block-shape rule); rows capk+1.. are zero padding.
+      xf_ref   (4, BT) u32      final states (processing-lane rows)
       xs       scratch (1, 4*BT) u32
     """
     M = 4 * BT
 
-    def kernel(sym_ref, ctx_ref, sh_ref, tbl_ref, w2_ref, em_ref,
+    def kernel(sym_ref, ctx_ref, sh_ref, tbl_ref, wloc_ref,
                xf_ref, xs):
         j = pl.program_id(1)
 
@@ -426,9 +465,12 @@ def _build_enc_kernel(A: int, NP: int, KO: int, K: int, geom: int,
         iota_m = lax.broadcasted_iota(jnp.int32, (1, M), 1)
         lane0 = iota_m < BT
         okpad = iota_m >= geom * BT          # order-0 first-step pad
+        iota_rev = capk - 1 - lax.broadcasted_iota(
+            jnp.int32, (capk, BT), 0)
 
         X = xs[:]
-        eacc = jnp.zeros((1, M), jnp.uint32)
+        acc_loc = jnp.zeros((capk, BT), jnp.int32)
+        cnt = jnp.zeros((1, BT), jnp.int32)
         for u in range(PER_E):
             s = j * PER_E + u
             if order == 1:
@@ -463,15 +505,27 @@ def _build_enc_kernel(A: int, NP: int, KO: int, K: int, geom: int,
             emit = (X >= xmult * f) & ok
             word = X & jnp.uint32(0xFFFF)
             x2 = jnp.where(emit, X >> 16, X)
-            qq = x2 // fs
+            qq = _div_u32_small(x2, fs)
             xn = (qq << shl) + (x2 - qq * fs) + start
             X = jnp.where(ok, xn, X)
-            eacc = eacc | (emit.astype(jnp.uint32) << u)
-            if u % 2 == 0:
-                wacc = word
-            else:
-                w2_ref[u // 2] = (wacc | (word << 16)).reshape(4, BT)
-        em_ref[0] = eacc.reshape(4, BT)
+            # ---- segment-local compaction: place emission rank p at
+            # row capk-1-p (overflowing ranks drop; cnt still counts
+            # them so the caller detects overflow and retries) ----
+            e4 = emit.astype(jnp.int32).reshape(4, BT)
+            w4 = word.astype(jnp.int32).reshape(4, BT)
+            e1 = e4[0:1]
+            e2 = e1 + e4[1:2]
+            e3 = e2 + e4[2:3]
+            excl = jnp.concatenate(
+                [jnp.zeros((1, BT), jnp.int32), e1, e2, e3], axis=0)
+            prank = cnt + excl                           # (4, BT)
+            for l in range(4):
+                hit = (iota_rev == prank[l:l + 1]) & (e4[l:l + 1] > 0)
+                acc_loc = acc_loc + jnp.where(hit, w4[l:l + 1], 0)
+            cnt = cnt + e3 + e4[3:4]
+        wloc_ref[:] = jnp.concatenate(
+            [acc_loc, cnt, jnp.zeros((7, BT), jnp.int32)],
+            axis=0).astype(jnp.uint16)
         xf_ref[:] = X.reshape(4, BT)
         xs[:] = X
 
@@ -517,8 +571,12 @@ def _enc_vmem(blocks, alpha, packed, shiftv, N: int, order: int,
     sh3 = jnp.broadcast_to(shiftv.astype(jnp.int32)[None, None, :],
                            (1, 4, B))
 
-    kern = _build_enc_kernel(A, NP, KO, K, int(geom), order)
-    w2, em, xfT = pl.pallas_call(
+    # segment cap: 64 covers everything the XLA engine's SEG_CAP2 tier
+    # does; 128 = one grid step's maximum possible emissions (4 lanes x
+    # 32 steps), i.e. the always-exact tier
+    capk = 64 if seg_cap <= 64 else 128
+    kern = _build_enc_kernel(A, NP, KO, K, int(geom), order, capk)
+    wloc, xfT = pl.pallas_call(
         kern,
         grid=(NB, KO),
         in_specs=[
@@ -532,33 +590,46 @@ def _enc_vmem(blocks, alpha, packed, shiftv, N: int, order: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((PE2, 4, BT), lambda i, j: (j, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, BT), lambda i, j: (j, 0, i),
+            pl.BlockSpec((capk + 8, BT), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, BT), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((KO * PE2, 4, B), jnp.uint32),
-            jax.ShapeDtypeStruct((KO, 4, B), jnp.uint32),
+            jax.ShapeDtypeStruct((KO * (capk + 8), B), jnp.uint16),
             jax.ShapeDtypeStruct((4, B), jnp.uint32),
         ),
         scratch_shapes=[pltpu.VMEM((1, 4 * BT), jnp.uint32)],
         interpret=interpret,
     )(sym_p, ctx_p, sh3, tbl)
 
-    # unpack words (2 per u32, step = 2*row + parity) and emit bits
-    words = jnp.stack([w2 & 0xFFFF, w2 >> 16],
-                      axis=1).reshape(Kp, 4, B).astype(jnp.uint16)
-    bits = jnp.stack([(em >> k) & 1 for k in range(PER_E)],
-                     axis=1).reshape(Kp, 4, B).astype(bool)
-    # forward order = reverse of processing order; compact in the
-    # scan-native column layout (rans_v2 'col' scheme)
-    wT = words[:K][::-1, ::-1, :].reshape(K * 4, B)
-    eT = bits[:K][::-1, ::-1, :].reshape(K * 4, B)
-    out, n, overflow = rans_v2._compact_T(wT, eT, seg_cap)
-    return jnp.transpose(xfT, (1, 0))[:, ::-1], out, n, overflow
+    # ---- global stitch: place each grid step's already-forward-
+    # ordered segment (rows [capk-L, capk)) at its forward offset.
+    # Forward segment order is the REVERSE of grid-step order (the
+    # scan runs in processing order).  This is the second level of
+    # rans_v2._compact_T; the first (segment-local) level happened
+    # in-kernel.
+    wl3 = wloc.reshape(KO, capk + 8, B)[::-1]
+    w3 = wl3[:, :capk]
+    c3 = wl3[:, capk].astype(jnp.int32)                  # (KO, B)
+    offs = jnp.cumsum(c3, axis=0) - c3
+    n = c3.sum(axis=0)
+    overflow = jnp.any(c3 > capk)
+    r = jnp.arange(capk, dtype=jnp.int32)[None, :, None]
+    lo = capk - c3[:, None, :]                           # first valid row
+    pos = offs[:, None, :] + (r - lo)
+    if KO * capk < (1 << 15):
+        gkey = jnp.where(r >= lo, pos, jnp.int32(0x7FFF))
+        out = lax.sort(((gkey << 16) | w3.astype(jnp.int32)).reshape(
+            KO * capk, B), dimension=0)
+        words = (jnp.transpose(out, (1, 0)) & 0xFFFF).astype(jnp.uint16)
+    else:
+        gkey = jnp.where(r >= lo, pos,
+                         jnp.int32(1 << 30)).reshape(KO * capk, B)
+        _, out = lax.sort([gkey, w3.reshape(KO * capk, B)],
+                          dimension=0, num_keys=1)
+        words = jnp.transpose(out, (1, 0))
+    return jnp.transpose(xfT, (1, 0))[:, ::-1], words, n, overflow
 
 
 def _pad_b(arrs, B):
