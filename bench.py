@@ -551,6 +551,16 @@ def main():
     # variant winners are reused from the big corpora's tune cache
     corpora.append(("synth4_B512", np.tile(uniq, (min(512, B) // G, 1))))
 
+    # host-codec rows FIRST: they are single-core wall-time
+    # measurements and read 2x slower when they share the box with the
+    # accumulated device-run state (measured 11.2 -> 6.6 MB/s fqz)
+    try:
+        for r in bench_fqz_tok3():
+            print(json.dumps(r), file=sys.stderr, flush=True)
+    except Exception as e:          # secondary rows must not kill bench
+        print(json.dumps({"corpus": "fqz_tok3", "error": str(e)[:200]}),
+              file=sys.stderr, flush=True)
+
     rows = []
     for name, blocks in corpora:
         try:
@@ -563,12 +573,6 @@ def main():
         rows.append(r)
         import gc
         gc.collect()
-    try:
-        for r in bench_fqz_tok3():
-            print(json.dumps(r), file=sys.stderr, flush=True)
-    except Exception as e:          # secondary rows must not kill bench
-        print(json.dumps({"corpus": "fqz_tok3", "error": str(e)[:200]}),
-              file=sys.stderr, flush=True)
 
     head = rows[0]
     ok = (all(r.get("mismatches", 1) == 0 and r.get("byte_exact", False)

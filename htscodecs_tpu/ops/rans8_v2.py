@@ -376,6 +376,15 @@ def _chunkify8(stream_bytes: np.ndarray) -> np.ndarray:
     return out.reshape(B * NC, CHUNK)
 
 
+def _route8_vmem(A: int, n_bytes: int) -> bool:
+    rf = rans_v2._DEC_VARIANT["row_fetch"]
+    if rf == "vmem":
+        return True
+    from . import rans8_vmem
+    return (rf == "auto" and rans_v2._vmem_engine_ok()
+            and rans8_vmem.fits(A, n_bytes))
+
+
 def dec_o0_batch(states, stream, out_sz: int, alpha, packed):
     """states (B,4) u32; stream (B,W) u8 (bytes after the 16 state
     bytes); dense tables as in rans_v2.  Returns (B, out_sz) u8.
@@ -386,6 +395,10 @@ def dec_o0_batch(states, stream, out_sz: int, alpha, packed):
     if out_sz < 4:
         raise ValueError("dec_o0_batch requires out_sz >= 4; "
                          "route short blocks to the host decoder")
+    if _route8_vmem(packed.shape[1], stream.shape[1]):
+        from . import rans8_vmem
+        return rans8_vmem.dec_o0_batch(states, stream, out_sz, alpha,
+                                       packed)
     q = out_sz >> 2
     K = max(q, 1)
     out = _dec8_to_bytes(
@@ -397,6 +410,10 @@ def dec_o0_batch(states, stream, out_sz: int, alpha, packed):
 
 
 def dec_o1_batch(states, stream, out_sz: int, alpha, packed):
+    if _route8_vmem(packed.shape[1], stream.shape[1]):
+        from . import rans8_vmem
+        return rans8_vmem.dec_o1_batch(states, stream, out_sz, alpha,
+                                       packed)
     q = out_sz >> 2
     K = q + (out_sz - 4 * q)
     out = _dec8_to_bytes(

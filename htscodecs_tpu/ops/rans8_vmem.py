@@ -1,0 +1,556 @@
+"""Pallas VMEM-resident rANS 4x8 engines (CRAM 3.0 codec).
+
+The 4x16 VMEM engines' design (ops/rans_vmem.py — lane-major folded
+layout, pair-packed i32 cumulative-base tables, windowed renorm from
+the VMEM-resident stream, in-kernel segment-local encode compaction,
+fast exact u32 division) applied to the ``rANS_byte.h`` parameters
+(reference: htscodecs/rANS_byte.h:62,281-315,439-457): L = 1<<23,
+SHIFT fixed at 12, byte renorm with up to TWO bytes consumed/emitted
+per lane per step.  Byte order within a step is lane 0..3 (processing
+order), low byte first, exactly as the interleaved RansDec/EncRenorm
+calls in rANS_static.c; the forward stream is the full reverse of the
+emission sequence.
+
+The 4x8 dense tables (native r8_build_tables_*_dense) store cumulative
+bases built from the RUNTIME freqs, so the b16 identity
+``freq = base[sym+1] - base[sym]`` holds — but rows normalise to 4095
+slots (the reference's 4095-slot quirk), so the appended successor
+column is the PER-ROW total (_b16_fill_rowtot), not 1<<shift.  Byte-exactness vs the XLA engines (ops/rans8_v2.py,
+themselves golden-tested against the C reference) is asserted in
+tests/test_rans_vmem.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import rans_v2
+from .rans_vmem import BT, PACK_B, PACK_M, _cdiv, _div_u32_small
+
+RANS8_L = 1 << 23
+SHIFT = 12
+MASK = (1 << SHIFT) - 1
+CB = 256          # window anchor granularity (BYTES)
+WB = 2 * CB       # renorm window width (bytes)
+CB4 = CB // 4     # i32 rows per anchor (4 bytes per row)
+W4 = WB // 4      # i32 rows per window
+PER = 32          # steps per refill: (CB-1) + 8*PER < WB
+P4 = PER // 4     # packed u32 output rows per grid step
+PER_E = 32        # encode steps per grid step (<= 8*PER_E emissions)
+NB_STEP = 2048    # byte-count bucket granularity
+NB_MAX = 49152    # stream VMEM ceiling (bytes/block)
+
+def _b16_fill_rowtot(packed):
+    """rans_v2._b16_fill with PER-ROW totals: 4x8 rows normalise to
+    4095 slots (the reference's 4095-slot quirk, rANS_static.c), so
+    the appended successor column for the last valid symbol must be
+    the actual row total, not 1<<shift.  packed (B, Ac, A) i32."""
+    fq = packed & rans_v2.PACK_MASK
+    bs = packed >> rans_v2.PACK_SHIFT
+    tote = jnp.max(jnp.where(fq > 0, bs + fq, 0), axis=2,
+                   keepdims=True)                        # (B, Ac, 1)
+    filled = jnp.where(fq > 0, bs, tote)
+    bfill = lax.cummin(filled, axis=2, reverse=True)
+    return jnp.concatenate([bfill, tote], axis=2)
+
+
+def fits(A: int, n_bytes: int) -> bool:
+    return A <= rans_v2.MAX_DENSE_A and n_bytes <= NB_MAX
+
+
+# ---------------------------------------------------------------------------
+# Decode kernel
+
+
+def _build_dec_kernel(A: int, NP: int, AP: int, NC2: int, q: int,
+                      K: int, order: int):
+    """Refs: x0 (4,BT) u32; bytes_ref (NBp4, BT) i32 (4 stream bytes
+    per entry); tbl (Ac,NP,4,BT) i32 pair-packed bases; alpha
+    (AP,4,BT) i32; out (P4,4,BT) u32; xfo (4,BT) u32 final states;
+    scratch xs/pq/cx."""
+    M = 4 * BT
+
+    def kernel(x0_ref, bytes_ref, tbl_ref, alpha_ref, out_ref, xfo_ref,
+               xs, pq, cx):
+        L = jnp.uint32(RANS8_L)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            xs[:] = x0_ref[:].reshape(1, M)
+            pq[:] = jnp.zeros((1, BT), jnp.int32)
+            cx[:] = jnp.zeros((1, M), jnp.int32)
+
+        lane3 = lax.broadcasted_iota(jnp.int32, (1, M), 1) >= 3 * BT
+
+        # ---- window refill (see rans_vmem; anchors are CB bytes) ----
+        p = pq[:]
+        c0 = jnp.minimum(p // CB, NC2 - 1)
+        win = bytes_ref[(NC2 - 1) * CB4:(NC2 - 1) * CB4 + W4, :]
+        for r in range(NC2 - 1):
+            win = jnp.where(c0 == r,
+                            bytes_ref[r * CB4:r * CB4 + W4, :], win)
+        base = c0 * CB                                  # (1, BT) bytes
+
+        Ac = tbl_ref.shape[0]
+        tbl = tbl_ref[:].reshape(Ac, NP, M)
+        alpha = alpha_ref[:].reshape(AP, M)
+
+        iota_np = lax.broadcasted_iota(jnp.int32, (NP, M), 0)
+        lo_idx = 2 * iota_np
+        hi_idx = 2 * iota_np + 1
+        iota_w = lax.broadcasted_iota(jnp.int32, (W4, BT), 0)
+        BIG = jnp.int32(1 << 25)
+
+        def claim(sel, win):
+            """byte at per-lane offset sel (4, BT) from the packed
+            window; sel >= WB -> 0 (unused)."""
+            rows = []
+            for l in range(4):
+                s4 = sel[l:l + 1, :]
+                ohw = iota_w == (s4 >> 2)
+                pick = jnp.sum(jnp.where(ohw, win, 0),
+                               axis=0, keepdims=True)
+                rows.append((pick >> (8 * (s4 & 3))) & 0xFF)
+            return jnp.concatenate(rows, axis=0)        # (4, BT)
+
+        def step(u, X, ctx, p, acc):
+            s = j * PER + u
+            if order == 1:
+                act = (s < q) | (lane3 & (s < K))
+            else:
+                act = jnp.broadcast_to(s < K, (1, M))
+            m = (X & jnp.uint32(MASK)).astype(jnp.int32)
+
+            if order == 1:
+                row = tbl[A - 1]
+                for a in range(A - 2, -1, -1):
+                    row = jnp.where(ctx == a, tbl[a], row)
+            else:
+                row = tbl[0]
+            lo = row & PACK_M
+            hi = row >> PACK_B
+            ok_lo = (lo <= m) & (lo_idx < A)
+            ok_hi = (hi <= m) & (hi_idx < A)
+            symd = jnp.maximum(
+                jnp.max(jnp.where(ok_lo, lo_idx, 0), axis=0, keepdims=True),
+                jnp.max(jnp.where(ok_hi, hi_idx, 0), axis=0, keepdims=True))
+            b = jnp.maximum(
+                jnp.max(jnp.where(ok_lo, lo, 0), axis=0, keepdims=True),
+                jnp.max(jnp.where(ok_hi, hi, 0), axis=0, keepdims=True))
+            gt_lo = lo_idx > symd
+            gt_hi = (hi_idx > symd) & (hi_idx <= A)
+            nxt = jnp.minimum(
+                jnp.min(jnp.where(gt_lo, lo, BIG), axis=0, keepdims=True),
+                jnp.min(jnp.where(gt_hi, hi, BIG), axis=0, keepdims=True))
+            bu = b.astype(jnp.uint32)
+            fu = (nxt - b).astype(jnp.uint32)
+
+            Xn = fu * (X >> SHIFT) + m.astype(jnp.uint32) - bu
+            # up to two byte consumptions per lane, lane 0 first; the
+            # second need is value-independent ((X<<8)|b < L <=>
+            # X < L>>8), so all offsets are known before any fetch
+            # (rANS_byte.h RansDecRenorm)
+            need1 = (Xn < L) & act
+            need2 = need1 & (Xn < (L >> 8))
+            n1 = need1.astype(jnp.int32).reshape(4, BT)
+            n2 = need2.astype(jnp.int32).reshape(4, BT)
+            c = n1 + n2
+            e1 = c[0:1]
+            e2 = e1 + c[1:2]
+            e3 = e2 + c[2:3]
+            tot = e3 + c[3:4]
+            excl = jnp.concatenate(
+                [jnp.zeros((1, BT), jnp.int32), e1, e2, e3], axis=0)
+            startl = (p - base) + excl                  # (4, BT)
+            off1 = jnp.where(n1 > 0, startl, 2 * WB)
+            off2 = jnp.where(n2 > 0, startl + 1, 2 * WB)
+            b1 = claim(off1, win).reshape(1, M).astype(jnp.uint32)
+            b2 = claim(off2, win).reshape(1, M).astype(jnp.uint32)
+            Xn = jnp.where(need1, (Xn << 8) | b1, Xn)
+            Xn = jnp.where(need2, (Xn << 8) | b2, Xn)
+            X = jnp.where(act, Xn, X)
+            p = p + tot
+            ctx = jnp.where(act, symd, ctx)
+
+            grp = symd >> 2
+            ap = alpha[0:1, :]
+            for g in range(1, AP):
+                ap = jnp.where(grp == g, alpha[g:g + 1, :], ap)
+            byte = (ap >> (8 * (symd & 3))) & 0xFF
+            acc = acc | (byte.astype(jnp.uint32) << (8 * (u % 4)))
+            return X, ctx, p, acc
+
+        X = xs[:]
+        ctx = cx[:]
+        p = pq[:]
+        for r4 in range(P4):
+            acc = jnp.zeros((1, M), jnp.uint32)
+            for k in range(4):
+                X, ctx, p, acc = step(r4 * 4 + k, X, ctx, p, acc)
+            out_ref[r4] = acc.reshape(4, BT)
+        xfo_ref[:] = X.reshape(4, BT)
+        xs[:] = X
+        cx[:] = ctx
+        pq[:] = p
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("A", "NC2", "q", "K", "N", "order", "interpret"))
+def _dec_vmem8(statesT, stream, packed, alphaT,
+               A: int, NC2: int, q: int, K: int, N: int, order: int,
+               interpret: bool = False):
+    """statesT (4, B) u32; stream (B, Wb) u8-valued; packed (B,A,A)
+    i32 (order-0 (B,A)); alphaT (A, B).  Returns (B, N) u8."""
+    B = statesT.shape[1]
+    NB = B // BT
+    M = 4 * BT
+    KO = _cdiv(K, PER)
+    NBp4 = NC2 * CB4 + W4
+
+    bfe = _b16_fill_rowtot(
+        packed if order == 1 else packed[:, None, :])
+    Ac = bfe.shape[1]
+    A1 = A + 1
+    NP = _cdiv(A1, 2)
+    pad = 2 * NP - A1
+    if pad:
+        bfe = jnp.concatenate(
+            [bfe, jnp.zeros((B, Ac, pad), jnp.int32)], axis=2)
+    pairs = bfe.reshape(B, Ac, NP, 2)
+    tbl = pairs[..., 0] | (pairs[..., 1] << PACK_B)
+    tbl = jnp.broadcast_to(
+        jnp.transpose(tbl, (1, 2, 0))[:, :, None, :], (Ac, NP, 4, B))
+
+    Wd = stream.shape[1]
+    sp = jnp.zeros((B, 4 * NBp4), jnp.int32)
+    sp = sp.at[:, :Wd].set(stream.astype(jnp.int32))
+    s4 = (sp[:, 0::4] | (sp[:, 1::4] << 8) | (sp[:, 2::4] << 16)
+          | (sp[:, 3::4] << 24))
+    bytesP = jnp.transpose(s4, (1, 0))                   # (NBp4, B)
+
+    AP = _cdiv(A, 4)
+    alw = jnp.zeros((4 * AP, B), jnp.int32)
+    alw = alw.at[:A].set(alphaT.astype(jnp.int32))
+    al4 = alw.reshape(AP, 4, B)
+    alP = (al4[:, 0] | (al4[:, 1] << 8) | (al4[:, 2] << 16)
+           | (al4[:, 3] << 24))
+    alP = jnp.broadcast_to(alP[:, None, :], (AP, 4, B))
+
+    kern = _build_dec_kernel(A, NP, AP, NC2, q, K, order)
+    out, xfT = pl.pallas_call(
+        kern,
+        grid=(NB, KO),
+        in_specs=[
+            pl.BlockSpec((4, BT), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NBp4, BT), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ac, NP, 4, BT), lambda i, j: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((AP, 4, BT), lambda i, j: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((P4, 4, BT), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, BT), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((KO * P4, 4, B), jnp.uint32),
+            jax.ShapeDtypeStruct((4, B), jnp.uint32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, M), jnp.uint32),
+            pltpu.VMEM((1, BT), jnp.int32),
+            pltpu.VMEM((1, M), jnp.int32),
+        ],
+        interpret=interpret,
+    )(statesT, bytesP, tbl, alP)
+
+    ks = [((out >> (8 * k)) & 0xFF).astype(jnp.uint8) for k in range(4)]
+    byts = jnp.stack(ks, axis=1).reshape(KO * PER, 4, B)
+    if order == 1:
+        main = jnp.transpose(byts[:q], (2, 1, 0)).reshape(B, 4 * q)
+        if 4 * q >= N:
+            return main[:, :N]
+        tailp = jnp.transpose(byts[q:K, 3, :], (1, 0))
+        return jnp.concatenate([main, tailp[:, :N - 4 * q]], axis=1)
+    # order 0: the final N & 3 symbols are read from the final states
+    # without advancing them (rANS_static.c:346-355)
+    flat = jnp.transpose(byts[:K], (2, 0, 1)).reshape(B, K * 4)
+    body = N & ~3
+    if body == N:
+        return flat[:, :N]
+    m = (jnp.transpose(xfT, (1, 0)) & jnp.uint32(MASK)).astype(jnp.int32)
+    base_r = packed >> rans_v2.PACK_SHIFT
+    f_r = packed & rans_v2.PACK_MASK
+    okm = (base_r[:, None, :] <= m[:, :, None]) & (f_r[:, None, :] > 0)
+    iota = jnp.arange(packed.shape[1], dtype=jnp.int32)
+    symd = jnp.max(jnp.where(okm, iota, 0), axis=2)
+    tail_b = rans_v2._undensify(symd, jnp.asarray(alphaT).T)
+    return jnp.concatenate([flat[:, :body], tail_b[:, :N - body]],
+                           axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Encode kernel
+
+
+def _build_enc_kernel(A: int, NP: int, KO: int, K: int, geom: int,
+                      order: int, capk: int):
+    """See rans_vmem._build_enc_kernel; 4x8 differences: byte renorm
+    with up to two emissions per lane per step (low byte first, lane
+    0..3 processing order), SHIFT=12 fixed, x_max = 2^19 * freq.
+    wloc row capk carries the count; byte values fit the u16 band."""
+    M = 4 * BT
+
+    def kernel(sym_ref, ctx_ref, tbl_ref, wloc_ref, xf_ref, xs):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            xs[:] = jnp.full((1, M), RANS8_L, jnp.uint32)
+
+        xmult = jnp.uint32((RANS8_L >> SHIFT) << 8)
+        Ac = tbl_ref.shape[0]
+        tbl = tbl_ref[:].reshape(Ac, NP, M)
+        syms = sym_ref[:].astype(jnp.int32)
+        ctxs = ctx_ref[:].astype(jnp.int32)
+        iota_m = lax.broadcasted_iota(jnp.int32, (1, M), 1)
+        lane0 = iota_m < BT
+        okpad = iota_m >= geom * BT
+        iota_rev = capk - 1 - lax.broadcasted_iota(
+            jnp.int32, (capk, BT), 0)
+
+        X = xs[:]
+        acc_loc = jnp.zeros((capk, BT), jnp.int32)
+        cnt = jnp.zeros((1, BT), jnp.int32)
+        for u in range(PER_E):
+            s = j * PER_E + u
+            if order == 1:
+                ok = ((s >= geom) | lane0) & (s < K)
+            else:
+                ok = jnp.broadcast_to(s < K, (1, M))
+                if geom:
+                    ok = ok & ((s > 0) | okpad)
+            sym = jnp.where(ok, syms[4 * u:4 * u + 4].reshape(1, M), 0)
+            if order == 1:
+                ctx = ctxs[4 * u:4 * u + 4].reshape(1, M)
+                row = tbl[A - 1]
+                for a in range(A - 2, -1, -1):
+                    row = jnp.where(ctx == a, tbl[a], row)
+            else:
+                row = tbl[0]
+            g0 = sym >> 1
+            g1 = (sym + 1) >> 1
+            p0 = row[NP - 1:NP]
+            p1 = row[NP - 1:NP]
+            for g in range(NP - 2, -1, -1):
+                rg = row[g:g + 1]
+                p0 = jnp.where(g0 == g, rg, p0)
+                p1 = jnp.where(g1 == g, rg, p1)
+            e0 = jnp.where((sym & 1) == 1, p0 >> PACK_B, p0 & PACK_M)
+            e1 = jnp.where((sym & 1) == 0, p1 >> PACK_B, p1 & PACK_M)
+            start = e0.astype(jnp.uint32)
+            f = (e1 - e0).astype(jnp.uint32)
+            fs = jnp.where(ok, f, jnp.uint32(1))
+            x_max = xmult * f
+            # up to two byte emissions, low byte first (rANS_byte.h
+            # RansEncRenorm); the second only if still >= x_max
+            emit1 = (X >= x_max) & ok
+            byte1 = X & jnp.uint32(0xFF)
+            X1 = jnp.where(emit1, X >> 8, X)
+            emit2 = (X1 >= x_max) & emit1
+            byte2 = X1 & jnp.uint32(0xFF)
+            x2 = jnp.where(emit2, X1 >> 8, X1)
+            qq = _div_u32_small(x2, fs)
+            xn = (qq << SHIFT) + (x2 - qq * fs) + start
+            X = jnp.where(ok, xn, X)
+            # local compaction: emission sequence within a step is
+            # (lane asc, slot asc); ranks placed top-down for forward
+            # order (see rans_vmem)
+            n1 = emit1.astype(jnp.int32).reshape(4, BT)
+            n2 = emit2.astype(jnp.int32).reshape(4, BT)
+            b14 = byte1.astype(jnp.int32).reshape(4, BT)
+            b24 = byte2.astype(jnp.int32).reshape(4, BT)
+            c = n1 + n2
+            e1c = c[0:1]
+            e2c = e1c + c[1:2]
+            e3c = e2c + c[2:3]
+            excl = jnp.concatenate(
+                [jnp.zeros((1, BT), jnp.int32), e1c, e2c, e3c], axis=0)
+            r1 = cnt + excl                              # slot-0 rank
+            r2 = r1 + 1                                  # slot-1 rank
+            for l in range(4):
+                hit1 = (iota_rev == r1[l:l + 1]) & (n1[l:l + 1] > 0)
+                acc_loc = acc_loc + jnp.where(hit1, b14[l:l + 1], 0)
+                hit2 = (iota_rev == r2[l:l + 1]) & (n2[l:l + 1] > 0)
+                acc_loc = acc_loc + jnp.where(hit2, b24[l:l + 1], 0)
+            cnt = cnt + e3c + c[3:4]
+        wloc_ref[:] = jnp.concatenate(
+            [acc_loc, cnt, jnp.zeros((7, BT), jnp.int32)],
+            axis=0).astype(jnp.uint16)
+        xf_ref[:] = X.reshape(4, BT)
+        xs[:] = X
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("N", "order", "seg_cap", "interpret"))
+def _enc_vmem8(blocks, alpha, packed, N: int, order: int,
+               seg_cap: int, interpret: bool = False):
+    """Same contract as rans8_v2._enc_scan8: returns (states (B,4)
+    u32 lane order, bytes (B,cap) u16-valued forward, counts (B,) i32,
+    overflow bool)."""
+    B = blocks.shape[0]
+    NB = B // BT
+    dense = rans_v2._densify(blocks, alpha)
+    sym_p, ctx_p, _valid, K, geom = rans_v2._enc_proc_inputs(
+        dense, N, order)
+    KO = _cdiv(K, PER_E)
+    Kp = KO * PER_E
+    if Kp > K:
+        z = jnp.zeros((Kp - K, 4, B), jnp.uint8)
+        sym_p = jnp.concatenate([sym_p, z], axis=0)
+        ctx_p = jnp.concatenate([ctx_p, z], axis=0)
+    sym_p = sym_p.reshape(Kp * 4, B)
+    ctx_p = ctx_p.reshape(Kp * 4, B)
+
+    A = packed.shape[1]
+    bfe = _b16_fill_rowtot(
+        packed if order == 1 else packed[:, None, :])
+    Ac = bfe.shape[1]
+    A1 = A + 1
+    NP = _cdiv(A1, 2)
+    pad = 2 * NP - A1
+    if pad:
+        bfe = jnp.concatenate(
+            [bfe, jnp.zeros((B, Ac, pad), jnp.int32)], axis=2)
+    pairs = bfe.reshape(B, Ac, NP, 2)
+    tbl = pairs[..., 0] | (pairs[..., 1] << PACK_B)
+    tbl = jnp.broadcast_to(
+        jnp.transpose(tbl, (1, 2, 0))[:, :, None, :], (Ac, NP, 4, B))
+
+    # 8 emissions/step max; 96 per 32-step segment is ~2x the q40-class
+    # byte rate, 256 the always-exact tier
+    capk = 96 if seg_cap <= 64 else 256
+    kern = _build_enc_kernel(A, NP, KO, K, int(geom), order, capk)
+    wloc, xfT = pl.pallas_call(
+        kern,
+        grid=(NB, KO),
+        in_specs=[
+            pl.BlockSpec((PER_E * 4, BT), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PER_E * 4, BT), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ac, NP, 4, BT), lambda i, j: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((capk + 8, BT), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, BT), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((KO * (capk + 8), B), jnp.uint16),
+            jax.ShapeDtypeStruct((4, B), jnp.uint32),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, 4 * BT), jnp.uint32)],
+        interpret=interpret,
+    )(sym_p, ctx_p, tbl)
+
+    # global stitch (see rans_vmem); byte payloads leave 23 bits of
+    # key headroom, so the packed single sort covers any position
+    wl3 = wloc.reshape(KO, capk + 8, B)[::-1]
+    w3 = wl3[:, :capk]
+    c3 = wl3[:, capk].astype(jnp.int32)
+    offs = jnp.cumsum(c3, axis=0) - c3
+    n = c3.sum(axis=0)
+    overflow = jnp.any(c3 > capk)
+    r = jnp.arange(capk, dtype=jnp.int32)[None, :, None]
+    lo = capk - c3[:, None, :]
+    pos = offs[:, None, :] + (r - lo)
+    gkey = jnp.where(r >= lo, pos, jnp.int32(1 << 22))
+    out = lax.sort(((gkey << 8) | w3.astype(jnp.int32)).reshape(
+        KO * capk, B), dimension=0)
+    words = (jnp.transpose(out, (1, 0)) & 0xFF).astype(jnp.uint16)
+    return jnp.transpose(xfT, (1, 0))[:, ::-1], words, n, overflow
+
+
+# ---------------------------------------------------------------------------
+# Batch entry points (mirror rans8_v2.dec_o*/enc_o*)
+
+
+def _prep(states, stream, alpha, packed):
+    states, stream, alpha, packed, B = rans_v2._pad128(
+        np.asarray(states), np.asarray(stream),
+        np.asarray(alpha), np.asarray(packed))
+    NC2 = max(_cdiv(_cdiv(stream.shape[1], NB_STEP) * NB_STEP, CB), 1)
+    return states, stream, alpha, packed, B, NC2
+
+
+def dec_o1_batch(states, stream, out_sz: int, alpha, packed,
+                 interpret: bool = False):
+    q = out_sz >> 2
+    K = q + (out_sz - 4 * q)
+    states, stream, alpha, packed, B, NC2 = _prep(
+        states, stream, alpha, packed)
+    out = _dec_vmem8(
+        jnp.asarray(states.astype(np.uint32).T),
+        jnp.asarray(stream.astype(np.uint8)),
+        jnp.asarray(packed), jnp.asarray(alpha.T),
+        packed.shape[1], NC2, q, K, out_sz, 1, interpret=interpret)
+    return np.asarray(out)[:B]
+
+
+def dec_o0_batch(states, stream, out_sz: int, alpha, packed,
+                 interpret: bool = False):
+    if out_sz < 4:
+        raise ValueError("dec_o0_batch requires out_sz >= 4")
+    q = out_sz >> 2
+    K = max(q, 1)
+    states, stream, alpha, packed, B, NC2 = _prep(
+        states, stream, alpha, packed)
+    out = _dec_vmem8(
+        jnp.asarray(states.astype(np.uint32).T),
+        jnp.asarray(stream.astype(np.uint8)),
+        jnp.asarray(packed), jnp.asarray(alpha.T),
+        packed.shape[1], NC2, K, K, out_sz, 0, interpret=interpret)
+    return np.asarray(out)[:B]
+
+
+def _enc_batch(blocks, alpha, packed, order: int, interpret: bool):
+    from .rans_vmem import _pad_b
+    blocks = np.asarray(blocks)
+    B, N = blocks.shape
+    (blocks, alpha, packed), _ = _pad_b([blocks, alpha, packed], B)
+    for cap in (rans_v2.SEG_CAP2, rans_v2.SEG):
+        xf, out, n, ovf = _enc_vmem8(
+            jnp.asarray(blocks), jnp.asarray(alpha), jnp.asarray(packed),
+            N, order, cap, interpret=interpret)
+        if not bool(np.asarray(ovf)):
+            break
+    return np.asarray(xf)[:B], np.asarray(out)[:B], np.asarray(n)[:B]
+
+
+def enc_o1_batch(blocks, alpha, packed, interpret: bool = False):
+    return _enc_batch(blocks, alpha, packed, 1, interpret)
+
+
+def enc_o0_batch(blocks, alpha, packed, interpret: bool = False):
+    return _enc_batch(blocks, alpha, packed, 0, interpret)

@@ -274,11 +274,9 @@ def _dec_vmem(statesT, words, packed, alphaT, shiftv,
 
     # word stream: 2 u16 per i32 row, transposed, padded
     Wd = words.shape[1]
-    Wde = _cdiv(Wd, 2) * 2
     wp = jnp.zeros((B, 2 * NWp2), jnp.int32)
     wp = wp.at[:, :Wd].set(words.astype(jnp.int32))
     w2 = wp[:, 0::2] | (wp[:, 1::2] << 16)               # (B, NWp2)
-    del Wde
     wordsP = jnp.transpose(w2, (1, 0))
 
     sh3 = jnp.broadcast_to(shiftv.astype(jnp.int32)[None, None, :],
@@ -573,7 +571,9 @@ def _enc_vmem(blocks, alpha, packed, shiftv, N: int, order: int,
 
     # segment cap: 64 covers everything the XLA engine's SEG_CAP2 tier
     # does; 128 = one grid step's maximum possible emissions (4 lanes x
-    # 32 steps), i.e. the always-exact tier
+    # 32 steps), i.e. the always-exact tier.  (PER_E=64/capk=96 would
+    # shrink the global placement sort 25%, but doubles the kernel
+    # body and blows interpret-mode CPU compiles past 25 min/case.)
     capk = 64 if seg_cap <= 64 else 128
     kern = _build_enc_kernel(A, NP, KO, K, int(geom), order, capk)
     wloc, xfT = pl.pallas_call(

@@ -105,3 +105,85 @@ def test_vmem_roundtrip_nonpadded_batch():
     out = rans_vmem.dec_o1_batch(xf, words, N, alpha, packed, shiftv,
                                  interpret=True)
     np.testing.assert_array_equal(out, blocks)
+
+
+# ---------------------------------------------------------------------------
+# 4x8 (CRAM 3.0) VMEM engines vs the XLA byte engines
+
+
+def _o1_setup8(B, N, a):
+    from htscodecs_tpu import native
+    blocks = rng.integers(33, 33 + a, size=(B, N)).astype(np.uint8)
+    half = blocks[:, 0::2][:, :blocks[:, 1::2].shape[1]]
+    blocks[:, 1::2] = half
+    alps, pks = [], []
+    amax = 0
+    for b in range(B):
+        r = native.r8_build_tables_dense(blocks[b], 1)
+        assert r is not None
+        _t, al, pk = r
+        alps.append(al)
+        pks.append(pk)
+        amax = max(amax, len(al))
+    A = rans_v2._round_a(amax)
+    alpha = np.zeros((B, A), np.uint8)
+    packed = np.zeros((B, A, A), np.int32)
+    for b in range(B):
+        al, pk = alps[b], pks[b]
+        alpha[b, :len(al)] = al
+        alpha[b, len(al):] = al[-1] if len(al) else 0
+        packed[b, :len(al), :len(al)] = pk
+    return blocks, alpha, packed
+
+
+@pytest.mark.parametrize("B,N,a", [(128, 255, 40), (128, 256, 6)])
+def test_vmem8_roundtrip_o1(B, N, a):
+    from htscodecs_tpu.ops import rans8_v2, rans8_vmem
+    blocks, alpha, packed = _o1_setup8(B, N, a)
+    xf_r, w_r, n_r, ovf = map(np.asarray, rans8_v2._enc_scan8(
+        jnp.asarray(blocks), jnp.asarray(alpha), jnp.asarray(packed),
+        1, seg_cap=rans_v2.SEG))
+    assert not ovf
+    xf, out, n = rans8_vmem._enc_batch(blocks, alpha, packed, 1, True)
+    np.testing.assert_array_equal(xf, xf_r)
+    np.testing.assert_array_equal(n, n_r)
+    for b in range(B):
+        np.testing.assert_array_equal(out[b, :n[b]], w_r[b, :n_r[b]])
+    dec = rans8_vmem.dec_o1_batch(
+        xf, out.astype(np.uint8), N, alpha, packed, interpret=True)
+    np.testing.assert_array_equal(dec, blocks)
+
+
+def test_vmem8_roundtrip_o0_tail():
+    from htscodecs_tpu.ops import rans8_v2, rans8_vmem
+    from htscodecs_tpu import native
+    B, N, a = 128, 258, 14          # N & 3 == 2: no-advance tail
+    blocks = rng.integers(33, 33 + a, size=(B, N)).astype(np.uint8)
+    A = 16
+    alps, pks = [], []
+    for b in range(B):
+        r = native.r8_build_tables_dense(blocks[b], 0)
+        assert r is not None
+        _t, al, pk = r
+        alps.append(al)
+        pks.append(pk)
+    A = rans_v2._round_a(max(len(a_) for a_ in alps))
+    alpha = np.zeros((B, A), np.uint8)
+    packed = np.zeros((B, A), np.int32)
+    for b in range(B):
+        al, pk = alps[b], pks[b]
+        alpha[b, :len(al)] = al
+        alpha[b, len(al):] = al[-1] if len(al) else 0
+        packed[b, :len(al)] = pk
+    xf_r, w_r, n_r, ovf = map(np.asarray, rans8_v2._enc_scan8(
+        jnp.asarray(blocks), jnp.asarray(alpha), jnp.asarray(packed),
+        0, seg_cap=rans_v2.SEG))
+    assert not ovf
+    xf, out, n = rans8_vmem._enc_batch(blocks, alpha, packed, 0, True)
+    np.testing.assert_array_equal(xf, xf_r)
+    np.testing.assert_array_equal(n, n_r)
+    for b in range(B):
+        np.testing.assert_array_equal(out[b, :n[b]], w_r[b, :n_r[b]])
+    dec = rans8_vmem.dec_o0_batch(
+        xf, out.astype(np.uint8), N, alpha, packed, interpret=True)
+    np.testing.assert_array_equal(dec, blocks)
