@@ -149,6 +149,18 @@ def bench_corpus(name, blocks, check_exact=True):
         if st is None:
             return None
         alpha_d, packed_d, fhdr_d, meta_d, _H, _A = st
+        parts = None
+        if hdr_src == "p12":
+            # 12-bit freq transport: dispatch the pack BEFORE the
+            # encode scan (it must clear the compute stream first);
+            # its chunked D2H then rides the DMA path UNDER the scan,
+            # moving 25% less than the u16 form, and the native
+            # serializer consumes each chunk as it lands
+            ph = tables_v2.pack_freqs12(fhdr_d)
+            CH = -(-Bc // 4)
+            parts = [ph[i:i + CH] for i in range(0, Bc, CH)]
+            for pt in parts:
+                pt.copy_to_host_async()
         if row_fetch == "vmem":
             st_d, w_d, n_d, ovf = rans_vmem._enc_vmem(
                 jb, alpha_d, packed_d, meta_d[:, 1].astype(jnp.int32),
@@ -167,6 +179,17 @@ def bench_corpus(name, blocks, check_exact=True):
             # would overlap this way too)
             hdrs = [native.build_tables_o1_dense(blocks[b])[0]
                     for b in range(Bc)]
+        elif hdr_src == "p12":
+            alpha_h = np.asarray(alpha_d)
+            Ap = int(alpha_d.shape[1])
+            CH = parts[0].shape[0]
+            hdrs = []
+            for k, pt in enumerate(parts):
+                pk = np.asarray(pt)
+                sl = slice(k * CH, k * CH + pk.shape[0])
+                fr = tables_v2.unpack_freqs12_host(pk, Ap)
+                hdrs += native.serialize_o1_dense_batch(
+                    alpha_h[sl], meta[sl, 0], fr, meta[sl, 1])
         else:
             fhdr = np.asarray(fhdr_d)
             alpha_h = np.asarray(alpha_d)
@@ -204,10 +227,11 @@ def bench_corpus(name, blocks, check_exact=True):
             # header freqs are tiny at small A: D2H is free
             cands = [("vmem", "d2h"), ("onehot", "d2h")]
         else:
-            cands = [("vmem", "host"), ("b16", "host"),
+            cands = [("vmem", "p12"), ("vmem", "host"),
                      ("vmem", "d2h"), ("b16", "d2h")]
         best = None
         warmed = set()
+        hdr_ref = None     # headers must agree across hdr_src variants
         for rf_c, hd_c in cands:
             try:
                 if rf_c not in warmed:                 # warm (compiles)
@@ -216,7 +240,14 @@ def bench_corpus(name, blocks, check_exact=True):
                     warmed.add(rf_c)
                 _c = enc_pipeline(seg_cap, rf_c, hd_c)
                 t_c = _c[0]
+                h_c = _c[2]
                 del _c
+                if h_c is not None:
+                    if hdr_ref is None:
+                        hdr_ref = (f"{rf_c}/{hd_c}", h_c)
+                    elif h_c != hdr_ref[1]:
+                        raise AssertionError(
+                            f"headers diverge vs {hdr_ref[0]}")
             except Exception as e:
                 print(json.dumps({"tune": f"{name}:enc",
                                   "variant": f"{rf_c}/{hd_c}",

@@ -474,18 +474,20 @@ def _enc_vmem8(blocks, alpha, packed, N: int, order: int,
         interpret=interpret,
     )(sym_p, ctx_p, tbl)
 
-    # global stitch (see rans_vmem); byte payloads leave 23 bits of
-    # key headroom, so the packed single sort covers any position
-    wl3 = wloc.reshape(KO, capk + 8, B)[::-1]
+    # global stitch (see rans_vmem): valid rows are already in forward
+    # destination order, so the key is the forward-order flat row index
+    # (a static iota — no cumsum, and the segment-order [::-1] folds
+    # into the key); byte payloads leave 23 bits of key headroom, so
+    # the packed single sort covers any tier
+    wl3 = wloc.reshape(KO, capk + 8, B)
     w3 = wl3[:, :capk]
     c3 = wl3[:, capk].astype(jnp.int32)
-    offs = jnp.cumsum(c3, axis=0) - c3
     n = c3.sum(axis=0)
     overflow = jnp.any(c3 > capk)
-    r = jnp.arange(capk, dtype=jnp.int32)[None, :, None]
-    lo = capk - c3[:, None, :]
-    pos = offs[:, None, :] + (r - lo)
-    gkey = jnp.where(r >= lo, pos, jnp.int32(1 << 22))
+    r = lax.broadcasted_iota(jnp.int32, (KO, capk, B), 1)
+    koi = lax.broadcasted_iota(jnp.int32, (KO, capk, B), 0)
+    ordr = (KO - 1 - koi) * capk + r
+    gkey = jnp.where(r >= capk - c3[:, None, :], ordr, jnp.int32(1 << 22))
     out = lax.sort(((gkey << 8) | w3.astype(jnp.int32)).reshape(
         KO * capk, B), dimension=0)
     words = (jnp.transpose(out, (1, 0)) & 0xFF).astype(jnp.uint16)

@@ -569,12 +569,16 @@ def _enc_vmem(blocks, alpha, packed, shiftv, N: int, order: int,
     sh3 = jnp.broadcast_to(shiftv.astype(jnp.int32)[None, None, :],
                            (1, 4, B))
 
-    # segment cap: 64 covers everything the XLA engine's SEG_CAP2 tier
-    # does; 128 = one grid step's maximum possible emissions (4 lanes x
-    # 32 steps), i.e. the always-exact tier.  (PER_E=64/capk=96 would
-    # shrink the global placement sort 25%, but doubles the kernel
-    # body and blows interpret-mode CPU compiles past 25 min/case.)
-    capk = 64 if seg_cap <= 64 else 128
+    # segment cap, matched to the XLA engine's retry tiers: 32 covers
+    # the SEG_CAP tier (synth/q8-class rates), 64 the SEG_CAP2 tier
+    # (q40-class, ~35 words/segment); 128 = one grid step's maximum
+    # possible emissions (4 lanes x 32 steps), i.e. the always-exact
+    # tier.  Smaller capk shrinks both the in-kernel placement one-hot
+    # and the global placement sort linearly; overflow escalates to
+    # the next tier exactly like the XLA engine.  (PER_E=64/capk=96
+    # would shrink the sort another 25%, but doubles the kernel body
+    # and blows interpret-mode CPU compiles past 25 min/case.)
+    capk = 32 if seg_cap <= 32 else (64 if seg_cap <= 64 else 128)
     kern = _build_enc_kernel(A, NP, KO, K, int(geom), order, capk)
     wloc, xfT = pl.pallas_call(
         kern,
@@ -609,22 +613,34 @@ def _enc_vmem(blocks, alpha, packed, shiftv, N: int, order: int,
     # scan runs in processing order).  This is the second level of
     # rans_v2._compact_T; the first (segment-local) level happened
     # in-kernel.
-    wl3 = wloc.reshape(KO, capk + 8, B)[::-1]
+    #
+    # Key insight: in forward-segment order the valid rows are ALREADY
+    # in destination order (segments ordered, rows within a segment
+    # ordered), so the sort key can be the forward-order flat row index
+    # — a static iota, no cumsum — with invalid rows keyed past it.
+    # The index fits 16 bits whenever KO*capk <= 65536, so the cheap
+    # single-array packed u32 sort applies at every tier (the old
+    # destination-position key needed the 2-operand sort at
+    # KO*capk >= 1<<15, ~2x the cost); the [::-1] segment reversal
+    # folds into the key instead of re-materializing the array.
+    wl3 = wloc.reshape(KO, capk + 8, B)
     w3 = wl3[:, :capk]
     c3 = wl3[:, capk].astype(jnp.int32)                  # (KO, B)
-    offs = jnp.cumsum(c3, axis=0) - c3
     n = c3.sum(axis=0)
     overflow = jnp.any(c3 > capk)
-    r = jnp.arange(capk, dtype=jnp.int32)[None, :, None]
-    lo = capk - c3[:, None, :]                           # first valid row
-    pos = offs[:, None, :] + (r - lo)
-    if KO * capk < (1 << 15):
-        gkey = jnp.where(r >= lo, pos, jnp.int32(0x7FFF))
-        out = lax.sort(((gkey << 16) | w3.astype(jnp.int32)).reshape(
-            KO * capk, B), dimension=0)
+    r = lax.broadcasted_iota(jnp.int32, (KO, capk, B), 1)
+    valid = r >= capk - c3[:, None, :]
+    if KO * capk < (1 << 16):     # max ordr 65534 < the 0xFFFF marker
+        koi = lax.broadcasted_iota(jnp.int32, (KO, capk, B), 0)
+        ordr = ((KO - 1 - koi) * capk + r).astype(jnp.uint32)
+        key = jnp.where(valid, ordr << 16,
+                        jnp.uint32(0xFFFF0000)) | w3.astype(jnp.uint32)
+        out = lax.sort(key.reshape(KO * capk, B), dimension=0)
         words = (jnp.transpose(out, (1, 0)) & 0xFFFF).astype(jnp.uint16)
-    else:
-        gkey = jnp.where(r >= lo, pos,
+    else:                                                # unreachable at
+        koi = lax.broadcasted_iota(jnp.int32, (KO, capk, B), 0)  # N<=256K
+        ordr = (KO - 1 - koi) * capk + r
+        gkey = jnp.where(valid, ordr,
                          jnp.int32(1 << 30)).reshape(KO * capk, B)
         _, out = lax.sort([gkey, w3.reshape(KO * capk, B)],
                           dimension=0, num_keys=1)

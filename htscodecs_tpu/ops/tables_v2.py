@@ -500,3 +500,54 @@ def build_o0_device(blocks, tile: int = TILE):
     asz = np.asarray(outs[0][3] if len(outs) == 1
                      else jnp.concatenate([o[3] for o in outs]))
     return alpha_d, packed, asz, fhdr, A
+
+
+# ---------------------------------------------------------------------------
+# 12-bit header-frequency transport (D2H shrink for the serializer)
+#
+# The O1 header serializer only needs the normalised per-context
+# frequency VALUES on the host; the u16 (B, A, A) transfer is pure
+# transport.  Values are <= 1<<shift <= 4096, so 12 bits per entry (3
+# bytes per pair) moves 25% less than u16 — which matters on slow
+# device->host links (the axon test tunnel moves ~30 MB/s; production
+# DMA does not care).  The single 13-bit value 4096 (a one-symbol
+# context row normalised to the full 1<<12) is stored as 4095:
+# every context row is normalised to a POWER-OF-TWO total <= 1<<shift
+# (the per-row norm of rANS_static4x16pr.c's order-1 build), so a row
+# summing to exactly 4095 is legitimately unreachable and the host
+# restores its unique 4095 entry to 4096.
+
+
+@jax.jit
+def pack_freqs12(fhdr):
+    """(B, A, A) u16 normalised freqs -> (B, 3*ceil(A*A/2)) u8."""
+    B = fhdr.shape[0]
+    v = fhdr.reshape(B, -1).astype(jnp.uint32)
+    v = v - (v == 4096).astype(jnp.uint32)
+    if v.shape[1] % 2:
+        v = jnp.concatenate([v, jnp.zeros((B, 1), jnp.uint32)], axis=1)
+    v0 = v[:, 0::2]
+    v1 = v[:, 1::2]
+    b0 = v0 & 0xFF
+    b1 = (v0 >> 8) | ((v1 & 0xF) << 4)
+    b2 = v1 >> 4
+    return jnp.stack([b0, b1, b2], axis=2).reshape(
+        B, -1).astype(jnp.uint8)
+
+
+def unpack_freqs12_host(pk: np.ndarray, A: int) -> np.ndarray:
+    """Invert pack_freqs12 on the host: (B, 3*ceil(A*A/2)) u8 ->
+    (B, A, A) u16, restoring any 4096 entry via the row-sum deficit."""
+    B = pk.shape[0]
+    p = pk.reshape(B, -1, 3).astype(np.uint16)
+    v0 = p[:, :, 0] | ((p[:, :, 1] & 0xF) << 8)
+    v1 = (p[:, :, 1] >> 4) | (p[:, :, 2] << 4)
+    v = np.stack([v0, v1], axis=2).reshape(B, -1)[:, :A * A]
+    v = np.ascontiguousarray(v.reshape(B, A, A))
+    rs = v.sum(axis=2, dtype=np.int64)
+    fix = rs == 4095          # only a packed 4096 can produce this sum
+    if fix.any():
+        bi, ri = np.nonzero(fix)
+        idx = v[bi, ri].argmax(axis=1)
+        v[bi, ri, idx] += 1
+    return v

@@ -5,6 +5,7 @@ serialized header bytes, packed dense tables, alphabet, and the 10/12
 shift decision (reference rANS_static4x16pr.c:116-161,629-691).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -149,3 +150,43 @@ def test_devtables_random_fuzz():
             aa = len(al_ref)
             assert np.array_equal(
                 np.asarray(packed_d)[b, :aa, :aa], pk_ref), (trial, b)
+
+
+def test_pack_freqs12_transport_roundtrip():
+    """The 12-bit header-frequency transport (bench's 'p12' hdr_src)
+    must reproduce the u16 table exactly and serialize to identical
+    header bytes."""
+    rng = np.random.default_rng(3)
+    B, N = 8, 4096
+    blocks = rng.choice(
+        np.arange(64, 72, dtype=np.uint8), size=(B, N),
+        p=[0.4, 0.3, 0.1, 0.1, 0.05, 0.025, 0.02, 0.005])
+    # symbol 90 is always followed by 91: a deterministic context row
+    blocks[:, 100:900:2] = 90
+    blocks[:, 101:901:2] = 91
+    r = tables_v2.build_o1_device(blocks)
+    assert r is not None
+    alpha_d, packed_d, asz, fhdr, shift, flag, A = r
+    pk = np.asarray(tables_v2.pack_freqs12(fhdr))
+    back = tables_v2.unpack_freqs12_host(pk, fhdr.shape[1])
+    np.testing.assert_array_equal(back, fhdr)
+    h_ref = native.serialize_o1_dense_batch(
+        np.asarray(alpha_d), asz, fhdr, shift)
+    h_p12 = native.serialize_o1_dense_batch(
+        np.asarray(alpha_d), asz, back, shift)
+    assert h_p12 == h_ref
+
+
+def test_pack_freqs12_restores_4096():
+    """A one-symbol context row normalised to the full 1<<12 packs as
+    4095 and must come back as 4096 (rows legitimately sum to powers
+    of two, so the 4095 row sum is unambiguous)."""
+    A = 5
+    f = np.zeros((2, A, A), np.uint16)
+    f[0, 0, 2] = 4096                      # deterministic row
+    f[0, 1] = [1024, 1024, 1024, 512, 512]
+    f[0, 2] = [4095, 1, 0, 0, 0]           # legitimate 4095 entry
+    f[1, 3] = [2, 2, 0, 0, 0]
+    pk = np.asarray(tables_v2.pack_freqs12(jnp.asarray(f)))
+    back = tables_v2.unpack_freqs12_host(pk, A)
+    np.testing.assert_array_equal(back, f)
