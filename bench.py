@@ -161,10 +161,10 @@ def bench_corpus(name, blocks, check_exact=True):
             parts = [ph[i:i + CH] for i in range(0, Bc, CH)]
             for pt in parts:
                 pt.copy_to_host_async()
-        if row_fetch == "vmem":
+        if row_fetch in ("vmem", "pfv"):
             st_d, w_d, n_d, ovf = rans_vmem._enc_vmem(
                 jb, alpha_d, packed_d, meta_d[:, 1].astype(jnp.int32),
-                Nc, 1, seg_cap)
+                Nc, 1, seg_cap, prefetch=(row_fetch == "pfv"))
         else:
             st_d, w_d, n_d, ovf = rans_v2._enc_scan_v2_pb(
                 jb, alpha_d, packed_d, meta_d[:, 1], 1, seg_cap=seg_cap,
@@ -225,13 +225,12 @@ def bench_corpus(name, blocks, check_exact=True):
     else:
         if A_pad <= 8:
             # header freqs are tiny at small A: D2H is free
-            cands = [("vmem", "d2h"), ("onehot", "d2h")]
+            cands = [("pfv", "d2h"), ("vmem", "d2h"), ("onehot", "d2h")]
         else:
-            cands = [("vmem", "p12"), ("vmem", "host"),
-                     ("vmem", "d2h"), ("b16", "d2h")]
-        best = None
+            cands = [("pfv", "p12"), ("pfv", "host"), ("vmem", "p12"),
+                     ("vmem", "host"), ("b16", "d2h")]
+        ran = []           # (t, rf, hd, hdr_digest)
         warmed = set()
-        hdr_ref = None     # headers must agree across hdr_src variants
         for rf_c, hd_c in cands:
             try:
                 if rf_c not in warmed:                 # warm (compiles)
@@ -242,12 +241,6 @@ def bench_corpus(name, blocks, check_exact=True):
                 t_c = _c[0]
                 h_c = _c[2]
                 del _c
-                if h_c is not None:
-                    if hdr_ref is None:
-                        hdr_ref = (f"{rf_c}/{hd_c}", h_c)
-                    elif h_c != hdr_ref[1]:
-                        raise AssertionError(
-                            f"headers diverge vs {hdr_ref[0]}")
             except Exception as e:
                 print(json.dumps({"tune": f"{name}:enc",
                                   "variant": f"{rf_c}/{hd_c}",
@@ -258,6 +251,37 @@ def bench_corpus(name, blocks, check_exact=True):
                               "variant": f"{rf_c}/{hd_c}",
                               "t_s": round(t_c, 3)}), file=sys.stderr,
                   flush=True)
+            ran.append((t_c, rf_c, hd_c, h_c))
+        # headers must agree across hdr_src variants.  Anchor the
+        # reference to a TRUSTED serialization path (host rebuild or
+        # plain u16 d2h) — never first-wins, so a buggy packed variant
+        # (e.g. p12) can't become the reference and evict the good
+        # paths (ADVICE r3).  Divergence of a trusted variant from the
+        # trusted anchor is a hard failure.
+        hdr_ref = None
+        for t_c, rf_c, hd_c, h_c in ran:
+            if h_c is not None and hd_c in ("host", "d2h"):
+                hdr_ref = (f"{rf_c}/{hd_c}", h_c)
+                break
+        if hdr_ref is None and ran:
+            for t_c, rf_c, hd_c, h_c in ran:
+                if h_c is not None:
+                    hdr_ref = (f"{rf_c}/{hd_c}", h_c)
+                    break
+        best = None
+        for t_c, rf_c, hd_c, h_c in ran:
+            if h_c is not None and hdr_ref is not None \
+                    and h_c != hdr_ref[1]:
+                if hd_c in ("host", "d2h"):
+                    raise AssertionError(
+                        f"trusted header variant {rf_c}/{hd_c} diverges"
+                        f" from {hdr_ref[0]}")
+                print(json.dumps({"tune": f"{name}:enc",
+                                  "variant": f"{rf_c}/{hd_c}",
+                                  "error": f"headers diverge vs"
+                                           f" {hdr_ref[0]}"}),
+                      file=sys.stderr, flush=True)
+                continue
             if best is None or t_c < best[0]:
                 best = (t_c, rf_c, hd_c)
         enc_rf, enc_hdr = best[1], best[2]

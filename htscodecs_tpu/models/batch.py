@@ -13,8 +13,10 @@ the scans are shape-specialised.  Transform-flagged streams
 (PACK/RLE/CAT/NOSZ, STRIPE containers) are peeled host-side on decode
 and their entropy payloads — including every stripe lane — join the
 same batched device groups as plain streams.  Transform-flagged
-ENCODE still uses the host wrapper (the brute-force per-lane method
-search is host logic either way).
+ENCODE applies the transforms host-side, then DEFERS each candidate
+entropy payload (including per-lane stripe method-search candidates)
+into the same device groups; see compress_grouped/_encode_deferred
+and tests/test_batch_transform_encode.py.
 """
 
 from __future__ import annotations
@@ -448,9 +450,16 @@ def _compress_batch_o1(batch: np.ndarray) -> list[bytes]:
             for b, body in enumerate(_bodies_o1(batch))]
 
 
-def r4x8_compress_blocks(blocks, order: int, engine: str = "auto") -> list[bytes]:
+def r4x8_compress_blocks(blocks, order: int, engine: str = "auto",
+                         enc_fn=None) -> list[bytes]:
     """Compress a sequence of blocks with the rANS 4x8 codec (CRAM
-    3.0), batching the payload scans onto the device."""
+    3.0), batching the payload scans onto the device.
+
+    enc_fn: optional payload-scan engine ``(batch (B,N) u8, alpha,
+    packed, order01) -> (states, bytes, counts) | None`` — the
+    sharded layer (parallel.distributed.sharded_enc8_fn) injects a
+    shard_map over the device mesh here; None falls back to the
+    single-device engines."""
     from . import rans4x8
     from ..ops import rans_v2, rans8_v2
     arrs = [_as_u8(b) for b in blocks]
@@ -495,8 +504,13 @@ def r4x8_compress_blocks(blocks, order: int, engine: str = "auto") -> list[bytes
                 out[i] = rans4x8.compress(arrs[i], order)
             continue
         alpha, packed, _ = dense
-        enc = (rans8_v2.enc_o1_batch if order else rans8_v2.enc_o0_batch)
-        states, wbytes, counts = enc(batch, alpha, packed)
+        res8 = enc_fn(batch, alpha, packed, order) \
+            if enc_fn is not None else None
+        if res8 is None:
+            enc = (rans8_v2.enc_o1_batch if order
+                   else rans8_v2.enc_o0_batch)
+            res8 = enc(batch, alpha, packed)
+        states, wbytes, counts = res8
         for k, i in enumerate(idxs):
             tab = res[k][0]
             payload = states[k].astype("<u4").tobytes() + \
@@ -509,9 +523,15 @@ def r4x8_compress_blocks(blocks, order: int, engine: str = "auto") -> list[bytes
     return out  # type: ignore[return-value]
 
 
-def r4x8_uncompress_blocks(streams, engine: str = "auto") -> list[bytes]:
+def r4x8_uncompress_blocks(streams, engine: str = "auto",
+                           dec_fn=None) -> list[bytes]:
     """Decompress a sequence of rANS 4x8 streams, batching payload
-    scans onto the device."""
+    scans onto the device.
+
+    dec_fn: optional decode-group engine ``(order01, osz, states,
+    stream (B,W) u8, alpha, packed) -> (B, osz) u8 | None`` — the
+    sharded layer (parallel.distributed.sharded_dec8_fn) injects a
+    shard_map here."""
     from . import rans4x8
     from ..ops import rans_v2, rans8_v2
     streams = [bytes(s) for s in streams]
@@ -570,8 +590,12 @@ def r4x8_uncompress_blocks(streams, engine: str = "auto") -> list[bytes]:
             for i, s in items:
                 out[i] = rans4x8.uncompress(s)
             continue
-        dec = (rans8_v2.dec_o1_batch if order else rans8_v2.dec_o0_batch)
-        res = dec(states, stream, osz, alpha, packed)
+        res = dec_fn(order, osz, states, stream, alpha, packed) \
+            if dec_fn is not None else None
+        if res is None:
+            dec = (rans8_v2.dec_o1_batch if order
+                   else rans8_v2.dec_o0_batch)
+            res = dec(states, stream, osz, alpha, packed)
         for k, (i, _s) in enumerate(items):
             out[i] = res[k].tobytes()
     return out  # type: ignore[return-value]

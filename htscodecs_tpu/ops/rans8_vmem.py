@@ -487,6 +487,14 @@ def _enc_vmem8(blocks, alpha, packed, N: int, order: int,
     r = lax.broadcasted_iota(jnp.int32, (KO, capk, B), 1)
     koi = lax.broadcasted_iota(jnp.int32, (KO, capk, B), 0)
     ordr = (KO - 1 - koi) * capk + r
+    # the flat-index key must stay below the 1<<22 invalid marker AND
+    # (key << 8) below the i32 sign bit; at 64 KiB blocks KO*capk tops
+    # out at 16384*128 = 1<<21 — enforce the latent bound explicitly
+    # (rans_vmem has the two-operand wide-key fallback; this kernel
+    # has none) [ADVICE r3]
+    if KO * capk >= (1 << 22):
+        raise ValueError(
+            f"rans8 stitch key overflow: KO*capk={KO * capk} >= 2^22")
     gkey = jnp.where(r >= capk - c3[:, None, :], ordr, jnp.int32(1 << 22))
     out = lax.sort(((gkey << 8) | w3.astype(jnp.int32)).reshape(
         KO * capk, B), dimension=0)

@@ -417,8 +417,141 @@ def _div_u32_small(x2, fs):
 # context streams flowing through per-grid-step blocks, the emitted
 # words flowing out segment-locally compacted; only the global
 # placement sort stays in XLA.
+#
+# Round 4 adds a PREFETCHED variant: unlike decode, the encoder's
+# (ctx, sym) sequence is an INPUT, not state — so the (start, freq)
+# table fetch that dominates the wide-alphabet step (the A-deep
+# where-chain over (NP, M) pair rows) can be hoisted out of the
+# sequential scan entirely.  A separate fetch kernel serves every
+# query with tpu.dynamic_gather lane-gathers over the table
+# TRANSPOSED (blocks on sublane rows, table entries on lanes, 128
+# entries per gather chunk; Mosaic supports lane-gathers on (T, 128)
+# operands only — "multiple source vregs along gather dimension" is
+# rejected, see docs/ubench_gather_r4.py).  The scan kernel then
+# streams one packed i32 (start | freq<<12) per symbol from HBM —
+# ~4 B/symbol of extra traffic (a few ms at HBM speed) in exchange
+# for removing the O(A*NP) per-step select work.
 
 PER_E = 32        # encode steps per grid step
+FETCH_RB = 32     # blocks (sublane rows) per fetch-kernel grid step
+FETCH_QB = 2048   # queries per fetch-kernel grid step (128-multiple)
+
+
+def _build_fetch_kernel(Cn: int, QB: int):
+    """sf-table fetch: out[b, k] = tbl[b, idx[b, k]].
+
+    Refs:
+      tbl_ref (RB, Cn*128) i32  flat per-block sf tables (start|freq<<12)
+      idx_ref (RB, QB) i32      flat query indices (< Cn*128)
+      out_ref (RB, QB) i32
+    Each 128-lane chunk of the table is one lane-gather operand; a
+    select chain over the Cn chunks (by idx>>7) combines them.
+    """
+
+    def kernel(tbl_ref, idx_ref, out_ref):
+        tbl = tbl_ref[:]
+        for g in range(QB // 128):
+            q = idx_ref[:, 128 * g:128 * (g + 1)]
+            ql = q & 127
+            qh = q >> 7
+            res = jnp.take_along_axis(tbl[:, 0:128], ql, axis=1)
+            for c in range(1, Cn):
+                gc = jnp.take_along_axis(
+                    tbl[:, 128 * c:128 * (c + 1)], ql, axis=1)
+                res = jnp.where(qh == c, gc, res)
+            out_ref[:, 128 * g:128 * (g + 1)] = res
+
+    return kernel
+
+
+def _sf_fetch(sff, qidxT, Cn: int, interpret: bool = False):
+    """(B, Cn*128) i32 tables + (B, KQ) i32 queries -> (B, KQ) i32."""
+    B, KQ = qidxT.shape
+    kern = _build_fetch_kernel(Cn, FETCH_QB)
+    return pl.pallas_call(
+        kern,
+        grid=(B // FETCH_RB, KQ // FETCH_QB),
+        in_specs=[
+            pl.BlockSpec((FETCH_RB, Cn * 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FETCH_RB, FETCH_QB), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((FETCH_RB, FETCH_QB), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, KQ), jnp.int32),
+        interpret=interpret,
+    )(sff, qidxT)
+
+
+def _build_enc_kernel_pf(K: int, geom: int, order: int, capk: int):
+    """Prefetched-table encode scan: the only per-symbol input is the
+    packed (start | freq<<12) i32 stream; no tables, no where-chain.
+
+    Refs:
+      sf_ref   (PER_E*4, BT) i32  prefetched start|freq<<12 per symbol
+      sh_ref   (1, 4, BT) i32     per-block shift, lane-tiled
+      wloc_ref / xf_ref / xs      as _build_enc_kernel
+    """
+    M = 4 * BT
+
+    def kernel(sf_ref, sh_ref, wloc_ref, xf_ref, xs):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            xs[:] = jnp.full((1, M), RANS_L, jnp.uint32)
+
+        shl = sh_ref[:].reshape(1, M).astype(jnp.uint32)
+        xmult = (jnp.uint32(RANS_L) >> shl) << 16
+        iota_m = lax.broadcasted_iota(jnp.int32, (1, M), 1)
+        lane0 = iota_m < BT
+        okpad = iota_m >= geom * BT          # order-0 first-step pad
+        iota_rev = capk - 1 - lax.broadcasted_iota(
+            jnp.int32, (capk, BT), 0)
+
+        X = xs[:]
+        acc_loc = jnp.zeros((capk, BT), jnp.int32)
+        cnt = jnp.zeros((1, BT), jnp.int32)
+        for u in range(PER_E):
+            s = j * PER_E + u
+            if order == 1:
+                ok = ((s >= geom) | lane0) & (s < K)
+            else:
+                ok = jnp.broadcast_to(s < K, (1, M))
+                if geom:
+                    ok = ok & ((s > 0) | okpad)
+            sf = sf_ref[4 * u:4 * u + 4].reshape(1, M)
+            start = (sf & 0xFFF).astype(jnp.uint32)
+            f = ((sf >> 12) & 0x1FFF).astype(jnp.uint32)
+            fs = jnp.where(ok, f, jnp.uint32(1))
+            # ---- rANS_word.h encode step (byte-exact) ----
+            emit = (X >= xmult * f) & ok
+            word = X & jnp.uint32(0xFFFF)
+            x2 = jnp.where(emit, X >> 16, X)
+            qq = _div_u32_small(x2, fs)
+            xn = (qq << shl) + (x2 - qq * fs) + start
+            X = jnp.where(ok, xn, X)
+            # ---- segment-local compaction (see _build_enc_kernel) ----
+            e4 = emit.astype(jnp.int32).reshape(4, BT)
+            w4 = word.astype(jnp.int32).reshape(4, BT)
+            e1 = e4[0:1]
+            e2 = e1 + e4[1:2]
+            e3 = e2 + e4[2:3]
+            excl = jnp.concatenate(
+                [jnp.zeros((1, BT), jnp.int32), e1, e2, e3], axis=0)
+            prank = cnt + excl                           # (4, BT)
+            for l in range(4):
+                hit = (iota_rev == prank[l:l + 1]) & (e4[l:l + 1] > 0)
+                acc_loc = acc_loc + jnp.where(hit, w4[l:l + 1], 0)
+            cnt = cnt + e3 + e4[3:4]
+        wloc_ref[:] = jnp.concatenate(
+            [acc_loc, cnt, jnp.zeros((7, BT), jnp.int32)],
+            axis=0).astype(jnp.uint16)
+        xf_ref[:] = X.reshape(4, BT)
+        xs[:] = X
+
+    return kernel
 
 
 def _build_enc_kernel(A: int, NP: int, KO: int, K: int, geom: int,
@@ -532,12 +665,15 @@ def _build_enc_kernel(A: int, NP: int, KO: int, K: int, geom: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("N", "order", "seg_cap", "interpret"))
+    static_argnames=("N", "order", "seg_cap", "prefetch", "interpret"))
 def _enc_vmem(blocks, alpha, packed, shiftv, N: int, order: int,
-              seg_cap: int, interpret: bool = False):
+              seg_cap: int, prefetch: bool = False,
+              interpret: bool = False):
     """VMEM-engine encode: same contract as rans_v2._enc_scan_v2_pb —
     returns (states (B,4) u32 lane order, words (B,cap) u16 forward,
-    counts (B,) i32, overflow bool)."""
+    counts (B,) i32, overflow bool).  ``prefetch=True`` hoists the
+    (start, freq) fetch into the lane-gather fetch kernel and runs the
+    table-free scan (byte-identical output)."""
     B = blocks.shape[0]
     NB = B // BT
     dense = rans_v2._densify(blocks, alpha)
@@ -557,15 +693,43 @@ def _enc_vmem(blocks, alpha, packed, shiftv, N: int, order: int,
         packed if order == 1 else packed[:, None, :], shiftv)
     Ac = bfe.shape[1]
     A1 = A + 1
-    NP = _cdiv(A1, 2)
-    pad = 2 * NP - A1
-    if pad:
-        bfe = jnp.concatenate(
-            [bfe, jnp.zeros((B, Ac, pad), jnp.int32)], axis=2)
-    pairs = bfe.reshape(B, Ac, NP, 2)
-    tbl = pairs[..., 0] | (pairs[..., 1] << PACK_B)
-    tbl = jnp.broadcast_to(
-        jnp.transpose(tbl, (1, 2, 0))[:, :, None, :], (Ac, NP, 4, B))
+
+    if prefetch:
+        # ---- per-symbol (start | freq<<12) i32: start <= 4095 for any
+        # freq>0 symbol (start+freq <= 1<<shift <= 4096); freq <= 4096
+        # fits 13 bits.  freq-0 entries wrap start harmlessly — they
+        # are never queried by an active lane, and inactive lanes are
+        # masked by `ok` in the kernel exactly as the chain variant
+        # masks its garbage row fetch. ----
+        start_t = bfe[:, :, :A]
+        freq_t = bfe[:, :, 1:A + 1] - start_t
+        sff = (start_t | (freq_t << 12)).reshape(B, Ac * A)
+        Cn = _cdiv(Ac * A, 128)
+        padt = Cn * 128 - Ac * A
+        if padt:
+            sff = jnp.concatenate(
+                [sff, jnp.zeros((B, padt), jnp.int32)], axis=1)
+        if order == 1:
+            qidx = (ctx_p.astype(jnp.int32) * A
+                    + sym_p.astype(jnp.int32))            # (Kp4, B)
+        else:
+            qidx = sym_p.astype(jnp.int32)
+        KQ = _cdiv(Kp * 4, FETCH_QB) * FETCH_QB
+        qidxT = jnp.zeros((B, KQ), jnp.int32).at[:, :Kp * 4].set(
+            jnp.transpose(qidx, (1, 0)))
+        sfq = _sf_fetch(sff, qidxT, Cn, interpret=interpret)
+        sf_p = jnp.transpose(sfq[:, :Kp * 4], (1, 0))     # (Kp4, B)
+        tbl = None
+    else:
+        NP = _cdiv(A1, 2)
+        pad = 2 * NP - A1
+        if pad:
+            bfe = jnp.concatenate(
+                [bfe, jnp.zeros((B, Ac, pad), jnp.int32)], axis=2)
+        pairs = bfe.reshape(B, Ac, NP, 2)
+        tbl = pairs[..., 0] | (pairs[..., 1] << PACK_B)
+        tbl = jnp.broadcast_to(
+            jnp.transpose(tbl, (1, 2, 0))[:, :, None, :], (Ac, NP, 4, B))
     sh3 = jnp.broadcast_to(shiftv.astype(jnp.int32)[None, None, :],
                            (1, 4, B))
 
@@ -579,20 +743,8 @@ def _enc_vmem(blocks, alpha, packed, shiftv, N: int, order: int,
     # would shrink the sort another 25%, but doubles the kernel body
     # and blows interpret-mode CPU compiles past 25 min/case.)
     capk = 32 if seg_cap <= 32 else (64 if seg_cap <= 64 else 128)
-    kern = _build_enc_kernel(A, NP, KO, K, int(geom), order, capk)
-    wloc, xfT = pl.pallas_call(
-        kern,
+    common = dict(
         grid=(NB, KO),
-        in_specs=[
-            pl.BlockSpec((PER_E * 4, BT), lambda i, j: (j, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((PER_E * 4, BT), lambda i, j: (j, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, BT), lambda i, j: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Ac, NP, 4, BT), lambda i, j: (0, 0, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
         out_specs=(
             pl.BlockSpec((capk + 8, BT), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
@@ -605,7 +757,35 @@ def _enc_vmem(blocks, alpha, packed, shiftv, N: int, order: int,
         ),
         scratch_shapes=[pltpu.VMEM((1, 4 * BT), jnp.uint32)],
         interpret=interpret,
-    )(sym_p, ctx_p, sh3, tbl)
+    )
+    if prefetch:
+        kern = _build_enc_kernel_pf(K, int(geom), order, capk)
+        wloc, xfT = pl.pallas_call(
+            kern,
+            in_specs=[
+                pl.BlockSpec((PER_E * 4, BT), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 4, BT), lambda i, j: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            **common,
+        )(sf_p, sh3)
+    else:
+        kern = _build_enc_kernel(A, NP, KO, K, int(geom), order, capk)
+        wloc, xfT = pl.pallas_call(
+            kern,
+            in_specs=[
+                pl.BlockSpec((PER_E * 4, BT), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((PER_E * 4, BT), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 4, BT), lambda i, j: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Ac, NP, 4, BT), lambda i, j: (0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            **common,
+        )(sym_p, ctx_p, sh3, tbl)
 
     # ---- global stitch: place each grid step's already-forward-
     # ordered segment (rows [capk-L, capk)) at its forward offset.
@@ -662,22 +842,34 @@ def _pad_b(arrs, B):
     return out, B
 
 
-def enc_o1_batch(blocks, alpha, packed, shift, interpret: bool = False):
+def _default_prefetch() -> bool:
+    import os
+    return os.environ.get("HTSCODECS_TPU_ENC_PREFETCH", "1") != "0"
+
+
+def enc_o1_batch(blocks, alpha, packed, shift, interpret: bool = False,
+                 prefetch: bool | None = None):
     """Batched order-1 encode, VMEM engine; mirrors
     rans_v2.enc_o1_batch (+vector shift).  Returns (states, words,
     counts)."""
-    return _enc_batch(blocks, alpha, packed, shift, 1, interpret)
+    return _enc_batch(blocks, alpha, packed, shift, 1, interpret,
+                      prefetch)
 
 
-def enc_o0_batch(blocks, alpha, packed, shift=12, interpret: bool = False):
-    return _enc_batch(blocks, alpha, packed, shift, 0, interpret)
+def enc_o0_batch(blocks, alpha, packed, shift=12, interpret: bool = False,
+                 prefetch: bool | None = None):
+    return _enc_batch(blocks, alpha, packed, shift, 0, interpret,
+                      prefetch)
 
 
-def _enc_batch(blocks, alpha, packed, shift, order: int, interpret: bool):
+def _enc_batch(blocks, alpha, packed, shift, order: int, interpret: bool,
+               prefetch: bool | None = None):
     blocks = np.asarray(blocks)
     B, N = blocks.shape
     (blocks, alpha, packed), _ = _pad_b([blocks, alpha, packed], B)
     Bp = blocks.shape[0]
+    if prefetch is None:
+        prefetch = _default_prefetch()
     if isinstance(shift, (int, np.integer)):
         shiftv = np.full((Bp,), int(shift), np.int32)
     else:
@@ -688,7 +880,8 @@ def _enc_batch(blocks, alpha, packed, shift, order: int, interpret: bool):
     for cap in (rans_v2.SEG_CAP, rans_v2.SEG_CAP2, rans_v2.SEG):
         xf, words, n, ovf = _enc_vmem(
             jnp.asarray(blocks), jnp.asarray(alpha), jnp.asarray(packed),
-            jnp.asarray(shiftv), N, order, cap, interpret=interpret)
+            jnp.asarray(shiftv), N, order, cap, prefetch=prefetch,
+            interpret=interpret)
         if not bool(np.asarray(ovf)):
             break
     return np.asarray(xf)[:B], np.asarray(words)[:B], np.asarray(n)[:B]

@@ -550,4 +550,16 @@ def unpack_freqs12_host(pk: np.ndarray, A: int) -> np.ndarray:
         bi, ri = np.nonzero(fix)
         idx = v[bi, ri].argmax(axis=1)
         v[bi, ri, idx] += 1
+        rs[fix] += 1
+    # transport sanity [ADVICE r3]: every legitimate context row is
+    # normalised to a power-of-two total <= 4096 (or is all-zero for an
+    # unused context).  A non-normalised input would otherwise corrupt
+    # silently through the 12-bit wrap + 4095-restore heuristic.
+    bad = (rs != 0) & ((rs & (rs - 1)) != 0) | (rs > 4096)
+    if bad.any():
+        b0, r0 = np.argwhere(bad)[0]
+        raise ValueError(
+            "unpack_freqs12: context row sum is not a power of two "
+            f"<= 4096 (block {b0}, row {r0}, sum {int(rs[b0, r0])}) — "
+            "input was not a normalised O1 frequency header")
     return v

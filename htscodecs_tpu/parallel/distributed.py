@@ -23,6 +23,13 @@ Entry points:
                              shift: mixed 10/12-bit batches run in one
                              shard_map, no host-side grouping)
 - ``uncompress_blocks_o1``   sharded decode of equal-size streams
+- ``r4x8_compress_blocks`` / ``r4x8_uncompress_blocks``
+                             sharded rANS 4x8 (CRAM 3.0): payload
+                             scans shard_map over the mesh
+- ``arith_*`` / ``fqz_*`` / ``tok3_*``
+                             block-DP scale-out for the adaptive
+                             codecs (per-process multi-core host
+                             engines; blocks ARE their scaling axis)
 - ``archive_offsets``        ragged global offsets from local lengths
 
 Single-process multi-device works identically (the dryrun path); with
@@ -461,6 +468,190 @@ def uncompress_blocks_o1(streams, mesh: Mesh | None = None) -> list[bytes]:
         _to_global(shiftp, mesh))
     out = _local_np(out_g)[:B]
     return [out[k].tobytes() for k in range(B)]
+
+
+# ---------------------------------------------------------------------------
+# sharded rANS 4x8 (CRAM 3.0) — same block-DP shard_map pattern as the
+# 4x16 layer; injected into models.batch.r4x8_* via the enc_fn/dec_fn
+# hooks.  Reference dispatch: rANS_static.c:927-943.
+
+def _enc8_fn(mesh: Mesh, order: int, seg_cap: int):
+    ax = mesh.axis_names[0]
+
+    def local(jb, alpha, packed):
+        from ..ops import rans8_v2
+        rf = rans_v2._ENC_VARIANT["row_fetch"] if order == 1 else "onehot"
+        if rf not in ("onehot", "take", "b16"):
+            rf = "onehot"
+        states, out, n, ovf = rans8_v2._enc_scan8(
+            jb, alpha, packed, order, seg_cap=seg_cap, row_fetch=rf)
+        return states, out, n, lax.pmax(ovf.astype(jnp.int32), ax)
+
+    nd = 3 if order == 1 else 2
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(ax, None), P(ax, None), P(ax, *([None] * (nd - 1)))),
+        out_specs=(P(ax, None), P(ax, None), P(ax), P()),
+        check_vma=False)
+
+
+def _dec8_fn(mesh: Mesh, K: int, q: int, N: int, cap: int, order: int):
+    ax = mesh.axis_names[0]
+    nd = 3 if order == 1 else 2
+
+    def local(states, stream, packed, alpha):
+        from ..ops import rans8_v2
+        Bb = states.shape[0]
+        padded = jnp.zeros((Bb, cap), jnp.int32)
+        padded = padded.at[:, :stream.shape[1]].set(
+            stream.astype(jnp.int32))
+        chunks = padded.reshape(Bb * (cap // rans_v2.CHUNK),
+                                rans_v2.CHUNK)
+        return rans8_v2._dec8_to_bytes(
+            states, chunks, packed, alpha, K, q, N, order,
+            win=rans_v2._DEC_VARIANT["win"])
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(ax, None), P(ax, None),
+                  P(ax, *([None] * (nd - 1))), P(ax, None)),
+        out_specs=P(ax, None), check_vma=False)
+
+
+def sharded_enc8_fn(mesh: Mesh):
+    """Payload-scan engine for models.batch.r4x8_compress_blocks'
+    ``enc_fn`` hook: one shard_map per same-shape group."""
+    def fn(batch: np.ndarray, alpha, packed, order01: int):
+        try:
+            B = batch.shape[0]
+            nloc = max(len(mesh.local_devices), 1)
+            batchp, _ = _pad_rows(
+                np.ascontiguousarray(batch, np.uint8), nloc)
+            alphap, _ = _pad_rows(np.ascontiguousarray(alpha), nloc)
+            packedp, _ = _pad_rows(np.ascontiguousarray(packed), nloc)
+            gb = _to_global(batchp, mesh)
+            ga = _to_global(alphap, mesh)
+            gp = _to_global(packedp, mesh)
+            res = _enc8_fn(mesh, order01, rans_v2.SEG_CAP)(gb, ga, gp)
+            if int(np.asarray(res[3])):
+                res = _enc8_fn(mesh, order01, rans_v2.SEG)(gb, ga, gp)
+            return (_local_np(res[0])[:B], _local_np(res[1])[:B],
+                    _local_np(res[2])[:B])
+        except Exception:
+            return None
+    return fn
+
+
+def sharded_dec8_fn(mesh: Mesh):
+    """Decode-group engine for models.batch.r4x8_uncompress_blocks'
+    ``dec_fn`` hook."""
+    def fn(order01, osz, states, stream, alpha, packed):
+        try:
+            B = states.shape[0]
+            nloc = max(len(mesh.local_devices), 1)
+            statesp, _ = _pad_rows(
+                np.ascontiguousarray(states, np.uint32), nloc)
+            streamp, _ = _pad_rows(np.ascontiguousarray(stream), nloc)
+            alphap, _ = _pad_rows(np.ascontiguousarray(alpha), nloc)
+            packedp, _ = _pad_rows(np.ascontiguousarray(packed), nloc)
+            W = streamp.shape[1]
+            cap = max(-(-W // rans_v2.CHUNK), 2) * rans_v2.CHUNK
+            if order01 == 1:
+                q = osz >> 2
+                K = q + (osz - 4 * q)
+            else:
+                q = osz >> 2
+                K = q = max(q, 1)
+            out_g = _dec8_fn(mesh, K, q, osz, cap, order01)(
+                _to_global(statesp, mesh), _to_global(streamp, mesh),
+                _to_global(packedp, mesh), _to_global(alphap, mesh))
+            return _local_np(out_g)[:B]
+        except Exception:
+            return None
+    return fn
+
+
+def r4x8_compress_blocks(blocks, order: int = 1, mesh: Mesh | None = None,
+                         engine: str = "auto") -> list[bytes]:
+    """Sharded rANS 4x8 compression: models.batch's grouping + host
+    table build, payload scans in one shard_map per group.  Streams
+    byte-identical to ``rans4x8.compress``."""
+    if mesh is None:
+        mesh = block_mesh() if jax.process_count() == 1 else local_mesh()
+    from ..models import batch as batchmod
+    return batchmod.r4x8_compress_blocks(blocks, order, engine=engine,
+                                         enc_fn=sharded_enc8_fn(mesh))
+
+
+def r4x8_uncompress_blocks(streams, mesh: Mesh | None = None,
+                           engine: str = "auto") -> list[bytes]:
+    """Sharded rANS 4x8 decompression (mirror of r4x8_compress_blocks)."""
+    if mesh is None:
+        mesh = block_mesh() if jax.process_count() == 1 else local_mesh()
+    from ..models import batch as batchmod
+    return batchmod.r4x8_uncompress_blocks(streams, engine=engine,
+                                           dec_fn=sharded_dec8_fn(mesh))
+
+
+# ---------------------------------------------------------------------------
+# adaptive codecs (arith / fqz / tok3): block data-parallel scale-out.
+#
+# The adaptive coders are byte-serial per block (SURVEY §2 note on
+# c_range_coder.h); their pod-scale axis is the same one the reference
+# exposes — independent blocks — so the sharded layer partitions
+# BLOCKS over processes (each jax.distributed process compresses its
+# local share with the batched multi-core host engines, device groups
+# where those win) and shares only the ragged archive index
+# (archive_offsets).  Within a process these delegate to models.batch;
+# across processes no payload bytes ever move.  Reference entry
+# points: arith_dynamic.c:760-862, fqzcomp_qual.c:1492-1502,
+# tokenise_name3.c:1334-1538.
+
+def arith_compress_blocks(blocks, order: int = 0,
+                          mesh: Mesh | None = None,
+                          engine: str = "auto") -> list[bytes]:
+    """Block-DP arith compression of THIS process's blocks.  Streams
+    byte-identical to ``arith.compress``."""
+    from ..models import batch as batchmod
+    return batchmod.arith_compress_blocks(blocks, order, engine=engine)
+
+
+def arith_uncompress_blocks(streams, out_sizes=None,
+                            mesh: Mesh | None = None,
+                            engine: str = "auto") -> list[bytes]:
+    from ..models import batch as batchmod
+    return batchmod.arith_uncompress_blocks(streams, out_sizes,
+                                            engine=engine)
+
+
+def fqz_compress_blocks(jobs, mesh: Mesh | None = None,
+                        engine: str = "auto") -> list[bytes]:
+    """Block-DP fqzcomp_qual compression of THIS process's slices
+    (each job = (data, lens[, flags[, strat]]))."""
+    from ..models import batch as batchmod
+    return batchmod.fqz_compress_blocks(jobs, engine=engine)
+
+
+def fqz_decompress_blocks(streams, mesh: Mesh | None = None,
+                          engine: str = "auto") -> list[bytes]:
+    from ..models import batch as batchmod
+    return batchmod.fqz_decompress_blocks(streams, engine=engine)
+
+
+def tok3_encode_blocks(blocks, level: int = 9, use_arith: bool = False,
+                       mesh: Mesh | None = None) -> list[bytes]:
+    """Block-DP name-tokeniser compression of THIS process's name
+    blocks (each block = newline-terminated names, bytes)."""
+    from ..models import tok3 as tok3mod
+    from ..models.batch import _pmap
+    return _pmap(lambda b: tok3mod.encode_names(b, level, use_arith),
+                 list(blocks))
+
+
+def tok3_decode_blocks(blocks, mesh: Mesh | None = None) -> list[bytes]:
+    from ..models import tok3 as tok3mod
+    from ..models.batch import _pmap
+    return _pmap(lambda s: tok3mod.decode_names(s), list(blocks))
 
 
 # ---------------------------------------------------------------------------

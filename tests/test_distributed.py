@@ -114,3 +114,61 @@ def test_archive_offsets_single_process():
     offs, total = dist.archive_offsets(lens)
     assert list(offs) == [0, 5, 5, 22]
     assert total == 25
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_sharded_r4x8(order):
+    """4x8 (CRAM 3.0) payload scans through the shard_map hooks:
+    streams byte-exact vs the host encoder, round-trip exact."""
+    from htscodecs_tpu.models import rans4x8
+    mesh = dist.block_mesh()
+    rng = np.random.default_rng(17)
+    blocks = (rng.integers(0, 9, (24, 1500)) ** 2 % 37 + 33).astype(
+        np.uint8)
+    streams = dist.r4x8_compress_blocks(list(blocks), order, mesh,
+                                        engine="device")
+    for b, s in enumerate(streams):
+        assert s == rans4x8.compress(blocks[b], order), (order, b)
+    back = dist.r4x8_uncompress_blocks(streams, mesh, engine="device")
+    for b in range(len(blocks)):
+        assert back[b] == blocks[b].tobytes(), (order, b)
+
+
+def test_blockdp_adaptive_codecs():
+    """arith / fqz / tok3 block-DP wrappers: byte-exact vs the
+    single-block codecs, plus the archive index."""
+    from htscodecs_tpu.models import arith, fqz, tok3
+    rng = np.random.default_rng(23)
+    blocks = [(rng.integers(0, 6, n) + 40).astype(np.uint8)
+              for n in (700, 500, 700)]
+    for order in (0, 1, 65):
+        st = dist.arith_compress_blocks(blocks, order)
+        for b, s in enumerate(st):
+            assert s == arith.compress(blocks[b], order), (order, b)
+        back = dist.arith_uncompress_blocks(st)
+        for b in range(len(blocks)):
+            assert back[b] == blocks[b].tobytes(), (order, b)
+
+    jobs = []
+    for k in range(3):
+        lens = [50, 50, 60, 40][: 3 + k % 2]
+        data = (rng.integers(0, 30, sum(lens)) + 5).astype(np.uint8)
+        jobs.append((data.tobytes(), lens))
+    st = dist.fqz_compress_blocks(jobs)
+    for k, s in enumerate(st):
+        assert s == fqz.compress(jobs[k][0], jobs[k][1]), k
+    back = dist.fqz_decompress_blocks(st)
+    for k in range(len(jobs)):
+        assert back[k] == jobs[k][0], k
+
+    names = [b"".join(b"read%d.%d/%d\n" % (j, j * 7 % 13, 1 + (j & 1))
+                      for j in range(40)) for _ in range(3)]
+    st = dist.tok3_encode_blocks(names, level=5)
+    for k, s in enumerate(st):
+        assert s == tok3.encode_names(names[k], 5), k
+    back = dist.tok3_decode_blocks(st)
+    for k in range(len(names)):
+        # decode_names emits \0-separated names (reference semantics)
+        assert back[k] == names[k].replace(b"\n", b"\x00"), k
+    offs, total = dist.archive_offsets([len(s) for s in st])
+    assert total == sum(len(s) for s in st)
