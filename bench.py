@@ -150,6 +150,26 @@ def bench_corpus(name, blocks, check_exact=True):
             return None
         alpha_d, packed_d, fhdr_d, meta_d, _H, _A = st
         parts = None
+        sp = None
+        if hdr_src == "s12":
+            # sparse 12-bit transport: bitmap + nonzeros-compacted
+            # values; tier-width prefix slices are enqueued BEFORE the
+            # scan so their D2H rides the DMA path under it (a slice
+            # enqueued after the scan would serialize behind it)
+            bm_d, v12_d, _cnts, maxnz_d = tables_v2.pack_freqs_sparse12(
+                fhdr_d)
+            P = v12_d.shape[1] // 3
+            tiers = sorted({max(P // 4, 1), max(P // 2, 1),
+                            max((3 * P) // 4, 1), P})
+            CH = -(-Bc // 4)
+            sp_tiers = {}
+            for tp in tiers:
+                sl = v12_d[:, :3 * tp]
+                sp_tiers[tp] = [sl[i:i + CH] for i in range(0, Bc, CH)]
+            bm_parts = [bm_d[i:i + CH] for i in range(0, Bc, CH)]
+            for pt in bm_parts:
+                pt.copy_to_host_async()
+            sp = (sp_tiers, bm_parts, maxnz_d, CH)
         if hdr_src == "p12":
             # 12-bit freq transport: dispatch the pack BEFORE the
             # encode scan (it must clear the compute stream first);
@@ -161,8 +181,9 @@ def bench_corpus(name, blocks, check_exact=True):
             parts = [ph[i:i + CH] for i in range(0, Bc, CH)]
             for pt in parts:
                 pt.copy_to_host_async()
+        mseg_d = None
         if row_fetch in ("vmem", "pfv"):
-            st_d, w_d, n_d, ovf = rans_vmem._enc_vmem(
+            st_d, w_d, n_d, ovf, mseg_d = rans_vmem._enc_vmem(
                 jb, alpha_d, packed_d, meta_d[:, 1].astype(jnp.int32),
                 Nc, 1, seg_cap, prefetch=(row_fetch == "pfv"))
         else:
@@ -179,6 +200,23 @@ def bench_corpus(name, blocks, check_exact=True):
             # would overlap this way too)
             hdrs = [native.build_tables_o1_dense(blocks[b])[0]
                     for b in range(Bc)]
+        elif hdr_src == "s12":
+            alpha_h = np.asarray(alpha_d)
+            Ap = int(alpha_d.shape[1])
+            sp_tiers, bm_parts, maxnz_d, CH = sp
+            mx = int(np.asarray(maxnz_d))       # ready after the pack
+            need = -(-mx // 2)
+            tp = min(t for t in sp_tiers if t >= need)
+            for pt in sp_tiers[tp]:
+                pt.copy_to_host_async()
+            hdrs = []
+            for k, (bp, vp) in enumerate(zip(bm_parts, sp_tiers[tp])):
+                bm = np.asarray(bp)
+                vv = np.asarray(vp)
+                sl = slice(k * CH, k * CH + bm.shape[0])
+                fr = tables_v2.unpack_freqs_sparse12_host(bm, vv, Ap)
+                hdrs += native.serialize_o1_dense_batch(
+                    alpha_h[sl], meta[sl, 0], fr, meta[sl, 1])
         elif hdr_src == "p12":
             alpha_h = np.asarray(alpha_d)
             Ap = int(alpha_d.shape[1])
@@ -198,7 +236,7 @@ def bench_corpus(name, blocks, check_exact=True):
         np.asarray(jnp.sum(n_d))          # sync the scan
         dt = time.time() - t0
         return dt, meta, hdrs, alpha_d, packed_d, meta_d, st_d, w_d, \
-            n_d, ovf
+            n_d, ovf, mseg_d
 
     # NOTE on liveness: each enc_pipeline result tuple holds >1 GB of
     # device arrays (words, states, tables).  Holding two or three of
@@ -206,13 +244,21 @@ def bench_corpus(name, blocks, check_exact=True):
     # the 16 GB HBM limit — always del the previous tuple before
     # re-running.
     seg_cap = rans_v2.SEG_CAP
+    seg_tight = 0
     for cap in (rans_v2.SEG_CAP, rans_v2.SEG_CAP2, rans_v2.SEG):
         seg_cap = cap
-        _w = enc_pipeline(cap)            # warm (compiles)
+        # warm with the pfv engine: picks the tier AND reports the
+        # batch's true max segment count (onehot reports none)
+        _w = enc_pipeline(cap, "pfv")
         if _w is None:
             return None                   # wide alphabet: declined
         _ovf = bool(np.asarray(_w[9]))
         A_pad = int(_w[4].shape[1])
+        if not _ovf and _w[10] is not None:
+            # the stitch sort's rows scale with capk: re-run the VMEM
+            # variants with capk hugging the batch's TRUE max segment
+            # count (8-granular; deterministic for the same data)
+            seg_tight = max(-(-int(np.asarray(_w[10])) // 8) * 8, 8)
         del _w
         if not _ovf:
             break
@@ -220,24 +266,27 @@ def bench_corpus(name, blocks, check_exact=True):
     # ---- autotune the encode formulation (byte-exact variants; the
     # round-3 real-chip sweeps: VMEM Pallas kernel dominates, 'b16'
     # halves XLA table traffic at wide A) ----
-    if ("enc", A_pad) in _TUNE_CACHE:
-        enc_rf, enc_hdr = _TUNE_CACHE[("enc", A_pad)]
+    if ("enc", A_pad, Bc) in _TUNE_CACHE:
+        enc_rf, enc_hdr = _TUNE_CACHE[("enc", A_pad, Bc)]
     else:
         if A_pad <= 8:
             # header freqs are tiny at small A: D2H is free
             cands = [("pfv", "d2h"), ("vmem", "d2h"), ("onehot", "d2h")]
         else:
-            cands = [("pfv", "p12"), ("pfv", "host"), ("vmem", "p12"),
-                     ("vmem", "host"), ("b16", "d2h")]
+            cands = [("pfv", "s12"), ("pfv", "p12"), ("pfv", "host"),
+                     ("vmem", "p12"), ("vmem", "d2h")]
         ran = []           # (t, rf, hd, hdr_digest)
         warmed = set()
         for rf_c, hd_c in cands:
             try:
-                if rf_c not in warmed:                 # warm (compiles)
-                    _c = enc_pipeline(seg_cap, rf_c, hd_c)
+                sc_c = seg_tight if (seg_tight and rf_c in
+                                     ("vmem", "pfv")) else seg_cap
+                if (rf_c, hd_c) not in warmed:         # warm (compiles:
+                    # scan variant AND the hdr_src's device pack)
+                    _c = enc_pipeline(sc_c, rf_c, hd_c)
                     del _c
-                    warmed.add(rf_c)
-                _c = enc_pipeline(seg_cap, rf_c, hd_c)
+                    warmed.add((rf_c, hd_c))
+                _c = enc_pipeline(sc_c, rf_c, hd_c)
                 t_c = _c[0]
                 h_c = _c[2]
                 del _c
@@ -285,13 +334,16 @@ def bench_corpus(name, blocks, check_exact=True):
             if best is None or t_c < best[0]:
                 best = (t_c, rf_c, hd_c)
         enc_rf, enc_hdr = best[1], best[2]
-        _TUNE_CACHE[("enc", A_pad)] = (enc_rf, enc_hdr)
-    r = enc_pipeline(seg_cap, enc_rf, enc_hdr)  # steady: best of two
+        _TUNE_CACHE[("enc", A_pad, Bc)] = (enc_rf, enc_hdr)
+    sc_best = seg_tight if (seg_tight and enc_rf in
+                            ("vmem", "pfv")) else seg_cap
+    r = enc_pipeline(sc_best, enc_rf, enc_hdr)  # steady: best of two
     t_enc = r[0]
     del r
-    r = enc_pipeline(seg_cap, enc_rf, enc_hdr)
+    r = enc_pipeline(sc_best, enc_rf, enc_hdr)
     t_enc = min(t_enc, r[0])
-    dt, meta, hdrs, alpha_d, packed_d, meta_d, st_d, w_d, n_d, ovf = r
+    (dt, meta, hdrs, alpha_d, packed_d, meta_d, st_d, w_d, n_d, ovf,
+     _mseg) = r
     assert not bool(np.asarray(ovf)), f"{name}: compaction overflow"
     if hdrs is None:
         return None
@@ -348,8 +400,8 @@ def bench_corpus(name, blocks, check_exact=True):
         return time.time() - t0, out
 
     # ---- autotune the decode formulation (all byte-exact) ----
-    if ("dec", A_pad) in _TUNE_CACHE:
-        dec_rf, dec_wn = _TUNE_CACHE[("dec", A_pad)]
+    if ("dec", A_pad, Bc) in _TUNE_CACHE:
+        dec_rf, dec_wn = _TUNE_CACHE[("dec", A_pad, Bc)]
     else:
         # keep the candidate set tight: each candidate costs a cold
         # XLA compile on the driver's clock.  Sets come from the
@@ -382,7 +434,7 @@ def bench_corpus(name, blocks, check_exact=True):
             if best is None or t < best[0]:
                 best = (t, rf, wn)
         dec_rf, dec_wn = best[1], best[2]
-        _TUNE_CACHE[("dec", A_pad)] = (dec_rf, dec_wn)
+        _TUNE_CACHE[("dec", A_pad, Bc)] = (dec_rf, dec_wn)
 
     _w2, out = dec_pipeline(dec_rf, dec_wn)   # warm winner
     del out
@@ -400,10 +452,10 @@ def bench_corpus(name, blocks, check_exact=True):
                               cap, dec_rf, dec_wn)
         _cost_analysis(dec_l.compile(), t_dec, f"{name}:dec",
                        {"variant": f"{dec_rf}/{dec_wn}"})
-        if enc_rf == "vmem":
+        if enc_rf in ("vmem", "pfv"):
             enc_l = rans_vmem._enc_vmem.lower(
                 jb, alpha_d, packed_d, meta_d[:, 1].astype(jnp.int32),
-                Nc, 1, seg_cap)
+                Nc, 1, sc_best, prefetch=(enc_rf == "pfv"))
         else:
             enc_l = rans_v2._enc_scan_v2_pb.lower(
                 jb, alpha_d, packed_d, meta_d[:, 1], 1,
@@ -412,7 +464,7 @@ def bench_corpus(name, blocks, check_exact=True):
                        {"variant": enc_rf})
         try:
             with jax.profiler.trace(_trace_dir()):
-                enc_pipeline(seg_cap, enc_rf, enc_hdr)
+                enc_pipeline(sc_best, enc_rf, enc_hdr)
                 dec_pipeline(dec_rf, dec_wn)
             print(json.dumps({"profile": f"{name}:trace",
                               "dir": _trace_dir()}),
@@ -434,16 +486,16 @@ def bench_corpus(name, blocks, check_exact=True):
         # byte_exact for a corpus where nothing was actually compared
         for chk in np.flatnonzero(flag == 0)[:8]:
             chk = int(chk)
-            ref = rans4x16.compress(blocks[chk], 1)
-            if ref[0] != 1:
-                continue
+            # direct O1 entropy body (header + payload): independent of
+            # the wrapper's method search, so near-incompressible
+            # corpora (uni64) that would CAT at small N still verify
+            body = rans4x16._compress_o1(blocks[chk])
             blk_words = np.asarray(
                 w_d[chk, :counts_all[chk]]).astype("<u2").tobytes()
             blk_states = np.asarray(st_d[chk]).astype("<u4").tobytes()
-            osz, pos = varint.get_uint(ref, 1, len(ref))
-            off, *_t = native.parse_tables_o1(ref[pos:])
-            byte_exact = (ref[pos + off:] == blk_states + blk_words
-                          and hdrs[chk] == ref[pos:pos + off])
+            off, *_t = native.parse_tables_o1(body)
+            byte_exact = (body[off:] == blk_states + blk_words
+                          and hdrs[chk] == body[:off])
             exact_checked = True
             break
         if not exact_checked:
@@ -602,6 +654,12 @@ def main():
     if DAT.exists():
         corpora.append(("q8", tile_file(DAT / "q8", B, N)))
         corpora.append(("q40dir", tile_file(DAT / "q40+dir", B, N)))
+    # near-incompressible regime (ratio ~0.78, A=64): lands between
+    # the CAT threshold and the easy corpora, exercising the raised
+    # NW=32768 VMEM stream bucket (the r3 "compressibility cliff")
+    _rng_u = np.random.default_rng(13)
+    corpora.append(("uni64", (_rng_u.integers(0, 64, (B // 2, N))
+                              + 33).astype(np.uint8)))
     # small-batch regime (r2: latency-bound ~16 MB/s at B=512): the
     # variant winners are reused from the big corpora's tune cache
     corpora.append(("synth4_B512", np.tile(uniq, (min(512, B) // G, 1))))

@@ -73,7 +73,12 @@ PACK_M = (1 << PACK_B) - 1
 # words-per-block bucket granularity (caps jit variants; the whole
 # stream lives in VMEM so NW also gates routing, see fits())
 NW_STEP = 1024
-NW_MAX = 24576    # (NW/2+CW) i32 rows * BT * 4 B ~= 6.5 MB VMEM
+# 32768 words = (NW/2+CW) i32 rows * BT * 4 B ~= 8.5 MB VMEM (of the
+# ~16 MB/core v5e budget; tables add ~2.5 MB at A=48).  Round 4: was
+# 24576, which silently dropped ratio>=0.75 payloads (64 KiB blocks
+# compressing worse than ~0.75 but not badly enough to CAT) onto the
+# 3x-slower XLA scan — the VERDICT r3 "compressibility cliff".
+NW_MAX = 32768
 
 
 def _cdiv(a, b):
@@ -432,7 +437,9 @@ def _div_u32_small(x2, fs):
 # ~4 B/symbol of extra traffic (a few ms at HBM speed) in exchange
 # for removing the O(A*NP) per-step select work.
 
-PER_E = 32        # encode steps per grid step
+PER_E = 32        # encode steps per grid step (chain kernel)
+PER_E_PF = 32     # prefetched-kernel steps/grid step (64/128 measured
+                  # SLOWER: placement one-hot scales with capk)
 FETCH_RB = 32     # blocks (sublane rows) per fetch-kernel grid step
 FETCH_QB = 2048   # queries per fetch-kernel grid step (128-multiple)
 
@@ -484,12 +491,17 @@ def _sf_fetch(sff, qidxT, Cn: int, interpret: bool = False):
     )(sff, qidxT)
 
 
-def _build_enc_kernel_pf(K: int, geom: int, order: int, capk: int):
+def _build_enc_kernel_pf(K: int, geom: int, order: int, capk: int,
+                         per_e: int = PER_E):
     """Prefetched-table encode scan: the only per-symbol input is the
     packed (start | freq<<12) i32 stream; no tables, no where-chain.
 
+    ``per_e`` steps per grid step: without the A-deep chain the body
+    is small enough to unroll 128 steps, which shrinks the global
+    stitch (KO*capk rows) and the per-grid-step overhead ~4x.
+
     Refs:
-      sf_ref   (PER_E*4, BT) i32  prefetched start|freq<<12 per symbol
+      sf_ref   (per_e*4, BT) i32  prefetched start|freq<<12 per symbol
       sh_ref   (1, 4, BT) i32     per-block shift, lane-tiled
       wloc_ref / xf_ref / xs      as _build_enc_kernel
     """
@@ -507,14 +519,20 @@ def _build_enc_kernel_pf(K: int, geom: int, order: int, capk: int):
         iota_m = lax.broadcasted_iota(jnp.int32, (1, M), 1)
         lane0 = iota_m < BT
         okpad = iota_m >= geom * BT          # order-0 first-step pad
+        # NOTE (round-4 measured negative): pair-packing two u16 words
+        # per i32 placement row (halving the one-hot height, rank p ->
+        # row (capk-1-p)>>1 shifted by 16*(p&1)) measured SLOWER on
+        # chip than this plain form — q40 0.881 -> 0.95 s with either
+        # variable shifts or static-shift+select.  The placement
+        # one-hot is not the bottleneck Mosaic op it looks like.
         iota_rev = capk - 1 - lax.broadcasted_iota(
             jnp.int32, (capk, BT), 0)
 
         X = xs[:]
         acc_loc = jnp.zeros((capk, BT), jnp.int32)
         cnt = jnp.zeros((1, BT), jnp.int32)
-        for u in range(PER_E):
-            s = j * PER_E + u
+        for u in range(per_e):
+            s = j * per_e + u
             if order == 1:
                 ok = ((s >= geom) | lane0) & (s < K)
             else:
@@ -665,22 +683,27 @@ def _build_enc_kernel(A: int, NP: int, KO: int, K: int, geom: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("N", "order", "seg_cap", "prefetch", "interpret"))
+    static_argnames=("N", "order", "seg_cap", "prefetch", "per_e",
+                     "interpret"))
 def _enc_vmem(blocks, alpha, packed, shiftv, N: int, order: int,
-              seg_cap: int, prefetch: bool = False,
+              seg_cap: int, prefetch: bool = False, per_e: int = 0,
               interpret: bool = False):
     """VMEM-engine encode: same contract as rans_v2._enc_scan_v2_pb —
     returns (states (B,4) u32 lane order, words (B,cap) u16 forward,
     counts (B,) i32, overflow bool).  ``prefetch=True`` hoists the
     (start, freq) fetch into the lane-gather fetch kernel and runs the
-    table-free scan (byte-identical output)."""
+    table-free scan (byte-identical output).  ``per_e`` overrides the
+    steps-per-grid-step for the prefetched kernel (0 = default: 128
+    prefetched, 32 chain — the chain body is too big to unroll 128)."""
     B = blocks.shape[0]
     NB = B // BT
+    if per_e == 0 or not prefetch:
+        per_e = PER_E_PF if prefetch else PER_E
     dense = rans_v2._densify(blocks, alpha)
     sym_p, ctx_p, _valid, K, geom = rans_v2._enc_proc_inputs(
         dense, N, order)
-    KO = _cdiv(K, PER_E)
-    Kp = KO * PER_E
+    KO = _cdiv(K, per_e)
+    Kp = KO * per_e
     if Kp > K:
         z = jnp.zeros((Kp - K, 4, B), jnp.uint8)
         sym_p = jnp.concatenate([sym_p, z], axis=0)
@@ -742,38 +765,45 @@ def _enc_vmem(blocks, alpha, packed, shiftv, N: int, order: int,
     # the next tier exactly like the XLA engine.  (PER_E=64/capk=96
     # would shrink the sort another 25%, but doubles the kernel body
     # and blows interpret-mode CPU compiles past 25 min/case.)
-    capk = 32 if seg_cap <= 32 else (64 if seg_cap <= 64 else 128)
-    common = dict(
-        grid=(NB, KO),
-        out_specs=(
-            pl.BlockSpec((capk + 8, BT), lambda i, j: (j, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, BT), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((KO * (capk + 8), B), jnp.uint16),
-            jax.ShapeDtypeStruct((4, B), jnp.uint32),
-        ),
-        scratch_shapes=[pltpu.VMEM((1, 4 * BT), jnp.uint32)],
-        interpret=interpret,
-    )
+    # capk = per-grid-step emission capacity.  8-granular: the global
+    # stitch sort is THE encode wall (measured round 4: 0.46 s of the
+    # 0.83 s q40 encode at capk=64), and its rows scale with capk, so
+    # capk should hug the batch's true max segment count (overflow
+    # escalates exactly like the XLA retry tiers).  4*per_e is the
+    # always-exact ceiling.
+    capk = min(max(_cdiv(seg_cap, 8) * 8, 8), 4 * PER_E)
+    # segment length scales with steps per grid step: keep the tier
+    # coverage identical by scaling capk with per_e
+    capk = min(capk * (per_e // PER_E), 4 * per_e)
     if prefetch:
-        kern = _build_enc_kernel_pf(K, int(geom), order, capk)
+        kern = _build_enc_kernel_pf(K, int(geom), order, capk, per_e)
         wloc, xfT = pl.pallas_call(
             kern,
+            grid=(NB, KO),
             in_specs=[
-                pl.BlockSpec((PER_E * 4, BT), lambda i, j: (j, i),
+                pl.BlockSpec((per_e * 4, BT), lambda i, j: (j, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 4, BT), lambda i, j: (0, 0, i),
                              memory_space=pltpu.VMEM),
             ],
-            **common,
+            out_specs=(
+                pl.BlockSpec((capk + 8, BT), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, BT), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((KO * (capk + 8), B), jnp.uint16),
+                jax.ShapeDtypeStruct((4, B), jnp.uint32),
+            ),
+            scratch_shapes=[pltpu.VMEM((1, 4 * BT), jnp.uint32)],
+            interpret=interpret,
         )(sf_p, sh3)
     else:
         kern = _build_enc_kernel(A, NP, KO, K, int(geom), order, capk)
         wloc, xfT = pl.pallas_call(
             kern,
+            grid=(NB, KO),
             in_specs=[
                 pl.BlockSpec((PER_E * 4, BT), lambda i, j: (j, i),
                              memory_space=pltpu.VMEM),
@@ -784,7 +814,18 @@ def _enc_vmem(blocks, alpha, packed, shiftv, N: int, order: int,
                 pl.BlockSpec((Ac, NP, 4, BT), lambda i, j: (0, 0, 0, i),
                              memory_space=pltpu.VMEM),
             ],
-            **common,
+            out_specs=(
+                pl.BlockSpec((capk + 8, BT), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, BT), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((KO * (capk + 8), B), jnp.uint16),
+                jax.ShapeDtypeStruct((4, B), jnp.uint32),
+            ),
+            scratch_shapes=[pltpu.VMEM((1, 4 * BT), jnp.uint32)],
+            interpret=interpret,
         )(sym_p, ctx_p, sh3, tbl)
 
     # ---- global stitch: place each grid step's already-forward-
@@ -808,6 +849,10 @@ def _enc_vmem(blocks, alpha, packed, shiftv, N: int, order: int,
     c3 = wl3[:, capk].astype(jnp.int32)                  # (KO, B)
     n = c3.sum(axis=0)
     overflow = jnp.any(c3 > capk)
+    # the batch's true max segment count: callers can re-run with
+    # seg_cap = this value to shrink the stitch sort (its rows scale
+    # with capk and it is the dominant encode stage at capk=64)
+    maxseg = jnp.max(c3)
     r = lax.broadcasted_iota(jnp.int32, (KO, capk, B), 1)
     valid = r >= capk - c3[:, None, :]
     if KO * capk < (1 << 16):     # max ordr 65534 < the 0xFFFF marker
@@ -825,7 +870,8 @@ def _enc_vmem(blocks, alpha, packed, shiftv, N: int, order: int,
         _, out = lax.sort([gkey, w3.reshape(KO * capk, B)],
                           dimension=0, num_keys=1)
         words = jnp.transpose(out, (1, 0))
-    return jnp.transpose(xfT, (1, 0))[:, ::-1], words, n, overflow
+    return (jnp.transpose(xfT, (1, 0))[:, ::-1], words, n, overflow,
+            maxseg)
 
 
 def _pad_b(arrs, B):
@@ -877,11 +923,16 @@ def _enc_batch(blocks, alpha, packed, shift, order: int, interpret: bool,
         sa = np.asarray(shift, np.int32)
         shiftv[:len(sa)] = sa
         shiftv[len(sa):] = sa[0] if len(sa) else 12
+    # interpret-mode (CPU test) compiles scale with the unrolled body:
+    # keep the 32-step variant there — per_e does not change output
+    # bytes (the stitch reassembles segments identically), so the
+    # 128-step production variant is covered by the chip runs
+    pe = PER_E if interpret else 0
     for cap in (rans_v2.SEG_CAP, rans_v2.SEG_CAP2, rans_v2.SEG):
-        xf, words, n, ovf = _enc_vmem(
+        xf, words, n, ovf, _mseg = _enc_vmem(
             jnp.asarray(blocks), jnp.asarray(alpha), jnp.asarray(packed),
             jnp.asarray(shiftv), N, order, cap, prefetch=prefetch,
-            interpret=interpret)
+            per_e=pe, interpret=interpret)
         if not bool(np.asarray(ovf)):
             break
     return np.asarray(xf)[:B], np.asarray(words)[:B], np.asarray(n)[:B]

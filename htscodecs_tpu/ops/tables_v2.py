@@ -563,3 +563,90 @@ def unpack_freqs12_host(pk: np.ndarray, A: int) -> np.ndarray:
             f"<= 4096 (block {b0}, row {r0}, sum {int(rs[b0, r0])}) — "
             "input was not a normalised O1 frequency header")
     return v
+
+
+# ---------------------------------------------------------------------------
+# Sparse 12-bit transport (round 4): real O1 tables are 40-70% zeros
+# (unseen context transitions), so shipping a presence bitmap plus the
+# 12-bit-packed NONZERO values moves another ~35% less than the dense
+# p12 form.  The nonzeros are compacted to the front of each row on
+# device (one stable sort keyed by position), so the host D2H can pull
+# just a prefix whose width covers the batch's max nonzero count.
+
+
+@jax.jit
+def pack_freqs_sparse12(fhdr):
+    """(B, A, A) u16 -> (bitmap (B, ceil(E/8)) u8,
+    vals12 (B, 3*ceil(E/2)) u8 with each row's nonzeros packed first,
+    counts (B,) i32, maxnz () i32).  E = A*A."""
+    B = fhdr.shape[0]
+    v = fhdr.reshape(B, -1).astype(jnp.int32)
+    v = v - (v == 4096).astype(jnp.int32)          # 4096 -> 4095 wrap
+    E = v.shape[1]
+    nz = v > 0
+    # presence bitmap, LSB-first within each byte
+    E8 = -(-E // 8) * 8
+    nzp = nz
+    if E8 > E:
+        nzp = jnp.concatenate(
+            [nz, jnp.zeros((B, E8 - E), bool)], axis=1)
+    bits = nzp.reshape(B, E8 // 8, 8).astype(jnp.uint32)
+    w = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint32)
+    bitmap = jnp.sum(bits * w[None, None, :], axis=2).astype(jnp.uint8)
+    # stable compaction of nonzero values to the row front
+    iota = jnp.arange(E, dtype=jnp.int32)[None, :]
+    key = jnp.where(nz, iota, jnp.int32(E)) * 8192 + v
+    svals = lax.sort(key, dimension=1) & 8191
+    counts = nz.sum(axis=1).astype(jnp.int32)
+    # 12-bit pack (3 bytes per value pair)
+    if E % 2:
+        svals = jnp.concatenate(
+            [svals, jnp.zeros((B, 1), jnp.int32)], axis=1)
+    v0 = svals[:, 0::2]
+    v1 = svals[:, 1::2]
+    b0 = v0 & 0xFF
+    b1 = (v0 >> 8) | ((v1 & 0xF) << 4)
+    b2 = v1 >> 4
+    vals12 = jnp.stack([b0, b1, b2], axis=2).reshape(
+        B, -1).astype(jnp.uint8)
+    return bitmap, vals12, counts, jnp.max(counts)
+
+
+def unpack_freqs_sparse12_host(bitmap: np.ndarray, vals12: np.ndarray,
+                               A: int) -> np.ndarray:
+    """Invert pack_freqs_sparse12: vals12 may be any prefix of the
+    packed value rows wide enough for the batch's max count."""
+    B = bitmap.shape[0]
+    E = A * A
+    bits = np.unpackbits(bitmap, axis=1, bitorder="little")[:, :E]
+    counts = bits.sum(axis=1).astype(np.int64)
+    # unpack the 12-bit value stream
+    p = vals12.reshape(B, -1, 3).astype(np.uint16)
+    v0 = p[:, :, 0] | ((p[:, :, 1] & 0xF) << 8)
+    v1 = (p[:, :, 1] >> 4) | (p[:, :, 2] << 4)
+    sv = np.stack([v0, v1], axis=2).reshape(B, -1)
+    if int(counts.max(initial=0)) > sv.shape[1]:
+        raise ValueError("unpack_freqs_sparse12: prefix narrower than "
+                         "the batch's max nonzero count")
+    # rank-of-nonzero gather: position e holds the (cumsum-1)'th
+    # compacted value of its row.  One vectorized take_along_axis beats
+    # the nonzero/repeat scatter ~4x at B=12k, E=2.3k (single core).
+    ranks = bits.cumsum(axis=1, dtype=np.int32) - 1
+    np.maximum(ranks, 0, out=ranks)
+    v = np.take_along_axis(sv, ranks, axis=1)
+    v[bits == 0] = 0
+    v = np.ascontiguousarray(v.reshape(B, A, A))
+    rs = v.sum(axis=2, dtype=np.int64)
+    fix = rs == 4095
+    if fix.any():
+        bi2, ri2 = np.nonzero(fix)
+        idx = v[bi2, ri2].argmax(axis=1)
+        v[bi2, ri2, idx] += 1
+        rs[fix] += 1
+    bad = (rs != 0) & ((rs & (rs - 1)) != 0) | (rs > 4096)
+    if bad.any():
+        b0, r0 = np.argwhere(bad)[0]
+        raise ValueError(
+            "unpack_freqs_sparse12: context row sum is not a power of "
+            f"two <= 4096 (block {b0}, row {r0}, sum {int(rs[b0, r0])})")
+    return v

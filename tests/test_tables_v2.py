@@ -190,3 +190,52 @@ def test_pack_freqs12_restores_4096():
     pk = np.asarray(tables_v2.pack_freqs12(jnp.asarray(f)))
     back = tables_v2.unpack_freqs12_host(pk, A)
     np.testing.assert_array_equal(back, f)
+
+
+def test_pack_freqs_sparse12_roundtrip():
+    """The sparse 12-bit transport (bench's 's12' hdr_src): presence
+    bitmap + front-compacted nonzeros must reproduce the u16 table
+    exactly, including when the host pulls only a tier prefix of the
+    value rows."""
+    rng = np.random.default_rng(7)
+    B, N = 8, 4096
+    blocks = rng.choice(
+        np.arange(64, 72, dtype=np.uint8), size=(B, N),
+        p=[0.4, 0.3, 0.1, 0.1, 0.05, 0.025, 0.02, 0.005])
+    blocks[:, 100:900:2] = 90
+    blocks[:, 101:901:2] = 91
+    r = tables_v2.build_o1_device(blocks)
+    assert r is not None
+    alpha_d, packed_d, asz, fhdr, shift, flag, A = r
+    bm, v12, cnts, mx = tables_v2.pack_freqs_sparse12(jnp.asarray(fhdr))
+    bm, v12 = np.asarray(bm), np.asarray(v12)
+    mx = int(np.asarray(mx))
+    assert int(np.asarray(cnts).max()) == mx
+    # full-width pull
+    back = tables_v2.unpack_freqs_sparse12_host(bm, v12, fhdr.shape[1])
+    np.testing.assert_array_equal(back, fhdr)
+    # tier-prefix pull: the narrowest 3-byte-group prefix covering mx
+    tp = -(-mx // 2)
+    back2 = tables_v2.unpack_freqs_sparse12_host(
+        bm, v12[:, :3 * tp], fhdr.shape[1])
+    np.testing.assert_array_equal(back2, fhdr)
+    # a prefix narrower than the max count must fail loudly
+    if tp > 1:
+        with pytest.raises(ValueError):
+            tables_v2.unpack_freqs_sparse12_host(
+                bm, v12[:, :3 * (tp - 1)], fhdr.shape[1])
+
+
+def test_pack_freqs_sparse12_restores_4096():
+    """4096 packs as 4095 in the sparse form too and is restored via
+    the power-of-two row-sum invariant."""
+    A = 5
+    f = np.zeros((2, A, A), np.uint16)
+    f[0, 0, 2] = 4096
+    f[0, 1] = [1024, 1024, 1024, 512, 512]
+    f[0, 2] = [4095, 1, 0, 0, 0]
+    f[1, 3] = [2, 2, 0, 0, 0]
+    bm, v12, cnts, mx = tables_v2.pack_freqs_sparse12(jnp.asarray(f))
+    back = tables_v2.unpack_freqs_sparse12_host(
+        np.asarray(bm), np.asarray(v12), A)
+    np.testing.assert_array_equal(back, f)
