@@ -614,7 +614,7 @@ def arith_compress_blocks(blocks, order: int, engine: str = "auto") -> list[byte
     if engine != "device":
         return [arithmod.compress(a, order) for a in arrs]
 
-    from ..ops import arith_jax
+    from ..ops import arith_jax, rans_v2
     out: list[bytes | None] = [None] * len(arrs)
     plain = order in (0, 1)
     groups: dict[int, list[int]] = defaultdict(list)
@@ -627,7 +627,12 @@ def arith_compress_blocks(blocks, order: int, engine: str = "auto") -> list[byte
         batch = np.stack([arrs[i] for i in idxs])
         ms = batch.max(axis=1).astype(np.int32) + 1
         lens = np.full(len(idxs), n, np.int32)
-        res = arith_jax.enc_batch(batch, lens, ms, order)
+        res = None
+        if order == 0 and rans_v2._vmem_engine_ok():
+            from ..ops import arith_vmem
+            res = arith_vmem.enc_batch(batch, lens, ms, order)
+        if res is None:
+            res = arith_jax.enc_batch(batch, lens, ms, order)
         if res is None:
             for i in idxs:
                 out[i] = arithmod.compress(arrs[i], order)
@@ -654,7 +659,7 @@ def arith_uncompress_blocks(streams, out_sizes=None,
             s, out_sizes[i] if out_sizes is not None else None)
             for i, s in enumerate(streams)]
 
-    from ..ops import arith_jax
+    from ..ops import arith_jax, rans_v2
     out: list[bytes | None] = [None] * len(streams)
     groups: dict[tuple, list] = defaultdict(list)
     for i, s in enumerate(streams):
@@ -670,7 +675,14 @@ def arith_uncompress_blocks(streams, out_sizes=None,
     for (order, osz), items in groups.items():
         payloads = [s[pos + 1:] for _, s, pos in items]
         ms = [s[pos] for _, s, pos in items]
-        dec = arith_jax.dec_batch(payloads, [osz] * len(items), ms, order)
+        dec = None
+        if order == 0 and rans_v2._vmem_engine_ok():
+            from ..ops import arith_vmem
+            dec = arith_vmem.dec_batch(payloads, [osz] * len(items), ms,
+                                       order)
+        if dec is None:
+            dec = arith_jax.dec_batch(payloads, [osz] * len(items), ms,
+                                      order)
         if dec is None:
             for i, s, _ in items:
                 out[i] = arithmod.uncompress(s)
