@@ -415,6 +415,10 @@ def bench_corpus(name, blocks, check_exact=True):
             dec_cands = [("vmem", "-"), ("b16", "w128")]
         else:
             dec_cands = [("vmem", "-"), ("onehot", "w128")]
+        if not rans_vmem.fits(A_pad, int(w16.shape[1])):
+            # stream+tables top the VMEM budget: the Mosaic compile
+            # would fail outright (round-4: A=64 x 26k words)
+            dec_cands = [c for c in dec_cands if c[0] != "vmem"]
         best = None
         for rf, wn in dec_cands:
             try:

@@ -1038,13 +1038,21 @@ def fqz_compress_blocks(jobs, engine: str = "auto") -> list[bytes]:
     """
     from . import fqz as fqzmod
 
+    jobs = list(jobs)
+    if engine == "device":
+        # host model replay + device VMEM range-coder kernel
+        # (fqz.compress_batch_device); byte-identical streams
+        res = fqzmod.compress_batch_device(jobs)
+        if res is not None:
+            return res
+
     def one(job):
         data, lens, *rest = job
         flags = rest[0] if len(rest) > 0 else None
         strat = rest[1] if len(rest) > 1 else 0
         return fqzmod.compress(data, lens, flags, strat=strat)
 
-    return _pmap(one, list(jobs))
+    return _pmap(one, jobs)
 
 
 def fqz_decompress_blocks(streams, engine: str = "auto") -> list[bytes]:

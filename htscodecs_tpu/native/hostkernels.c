@@ -1716,6 +1716,158 @@ API int64_t fqz_enc(const uint8_t *in, int64_t n,
     return rc.err ? -1 : rc.opos;
 }
 
+/* ---- encode replay: per-event (acc, freq, tot) triples, no coder ----
+ *
+ * Identical model evolution to fqz_enc with the range coder removed:
+ * the triples stream to the device VMEM range-coder kernel
+ * (ops/rc_vmem.py), which reproduces the reference byte stream exactly
+ * (c_range_coder.h:46-89).  One event per model encode in stream order
+ * — the per-record sel/len/rev/dup events included — so the RC pass
+ * needs nothing but the triples.  This splits the serial per-byte work
+ * in two: the context/model walk stays on the host (it is pointer-
+ * chasing over a 16 MB arena the TPU cannot hold), the carry-counting
+ * coder chain moves to the device where 128 blocks run per tile. */
+
+static inline int am_replay(amodel *m, int symbol,
+                            uint16_t *pacc, uint16_t *pf,
+                            uint16_t *ptot) {
+    uint32_t sy = (uint32_t)symbol, acc = 0;
+    uint32_t *s = m->e + 1, *end = m->e + m->nsym + 1;
+    *end = sy;                             /* terminal = search key */
+    while (AM_SYM(*s) != sy) acc += *s++ >> 16;
+    if (s == end) return -1;               /* symbol absent */
+    *pacc = (uint16_t)acc;
+    *pf = (uint16_t)(*s >> 16);
+    *ptot = (uint16_t)m->tot;
+    *s += 16u << 16;
+    m->tot += 16;
+    if (m->tot > 65519) am_renorm(m);
+    if ((*s >> 16) > (s[-1] >> 16)) {
+        uint32_t t = s[0]; s[0] = s[-1]; s[-1] = t;
+    }
+    return 0;
+}
+
+static inline int am64_replay(am64 *m, int symbol,
+                              uint16_t *pacc, uint16_t *pf,
+                              uint16_t *ptot) {
+    uint32_t acc = 0;
+    int p = 0;
+    while (p < 64 && am64_sym(m, p) != symbol) acc += am64_cnt(m, p++);
+    if (p >= 64) return -1;
+    uint32_t cp = am64_cnt(m, p);
+    *pacc = (uint16_t)acc;
+    *pf = (uint16_t)cp;
+    *ptot = m->tot;
+    am64_setcnt(m, p, cp + 16);
+    m->tot += 16;
+    if (m->tot > 65519) am64_renorm(m);
+    if (p && am64_cnt(m, p) > am64_cnt(m, p - 1)) am64_swap1(m, p);
+    return 0;
+}
+
+API int64_t fqz_enc_replay(const uint8_t *in, int64_t n,
+                           const uint32_t *lens, const uint32_t *flags,
+                           int64_t nrec,
+                           int gflags, int nparam, int max_sel,
+                           int gmax_sym, const uint8_t *stab,
+                           const uint32_t *pm_ints, const uint32_t *qmaps,
+                           const uint32_t *qtabs, const uint32_t *ptabs,
+                           const uint32_t *dtabs,
+                           uint16_t *acc_out, uint16_t *f_out,
+                           uint16_t *tot_out, int64_t cap_ev) {
+    fqz_models md;
+    if (fqz_models_init(&md, gmax_sym + 1, max_sel) < 0) return -1;
+
+    int x = 0;
+    const uint32_t *pm = pm_ints;
+    const uint32_t *qmap = qmaps, *qtab = qtabs, *ptab = ptabs, *dtab = dtabs;
+    uint32_t qctx = 0, p = 0, delta = 0, prevq = 0, sval = 0, ctx = 0;
+    uint32_t qsh = 0, qmask = 0, qloc = 0, svs = 0;
+    am64 *q64 = md.qual64;
+    int first_len = 1;
+    int64_t rec = 0, last_len = 0, ne = 0;
+
+#define FQZ_EMIT(m_, sym_) do { \
+        if (ne >= cap_ev) return -1; \
+        if (am_replay((m_), (sym_), acc_out + ne, f_out + ne, \
+                      tot_out + ne) < 0) return -1; \
+        ne++; \
+    } while (0)
+
+    for (int64_t i = 0; i < n; i++) {
+        if (p == 0) {
+            if (rec >= nrec) return -1;
+            if (pm[10] || (gflags & 1)) {
+                sval = flags[rec] >> 16;
+                if (!md.has_sel) return -1;
+                FQZ_EMIT(&md.sel, (int)sval);
+            } else {
+                sval = 0;
+            }
+            x = (gflags & 2) ? stab[sval] : (int)sval;
+            if (x >= nparam) return -1;
+            pm = pm_ints + (size_t)x * FQZ_PM_WORDS;
+            qmap = qmaps + (size_t)x * 256;
+            qtab = qtabs + (size_t)x * 256;
+            ptab = ptabs + (size_t)x * 1024;
+            dtab = dtabs + (size_t)x * 256;
+
+            uint32_t len = lens[rec];
+            if (!pm[9] || first_len) {
+                FQZ_EMIT(&md.len[0], (int)(len & 0xff));
+                FQZ_EMIT(&md.len[1], (int)((len >> 8) & 0xff));
+                FQZ_EMIT(&md.len[2], (int)((len >> 16) & 0xff));
+                FQZ_EMIT(&md.len[3], (int)((len >> 24) & 0xff));
+                first_len = 0;
+            }
+            if (gflags & 4)
+                FQZ_EMIT(&md.revcomp, (flags[rec] & 16) ? 1 : 0);
+            rec++;
+            p = len;
+            delta = 0; qctx = 0; prevq = 0;
+            ctx = pm[0];
+            qsh = pm[3]; qmask = (1u << pm[2]) - 1;
+            qloc = pm[4]; svs = sval << pm[5];
+
+            if (pm[11]) {
+                if (i && (int64_t)len == last_len &&
+                    !memcmp(in + i - last_len, in + i, len)) {
+                    FQZ_EMIT(&md.dup, 1);
+                    i += len - 1;
+                    p = 0;
+                    continue;
+                }
+                FQZ_EMIT(&md.dup, 0);
+                last_len = len;
+            }
+        }
+
+        uint32_t qm = qmap[in[i]];
+        if (ne >= cap_ev) return -1;
+        if (q64) {
+            if (am64_replay(&q64[ctx & 0xffff], (int)qm, acc_out + ne,
+                            f_out + ne, tot_out + ne) < 0) return -1;
+        } else {
+            if (am_replay(&md.qual[ctx & 0xffff], (int)qm, acc_out + ne,
+                          f_out + ne, tot_out + ne) < 0) return -1;
+        }
+        ne++;
+
+        qctx = (qctx << qsh) + qtab[qm];
+        ctx = ((qctx & qmask) << qloc)
+            + ptab[p < 1023 ? p : 1023]
+            + dtab[delta < 255 ? delta : 255]
+            + svs;
+        ctx &= 0xffff;
+        delta += prevq != qm;
+        prevq = qm;
+        p--;
+    }
+#undef FQZ_EMIT
+    return ne;
+}
+
 API int64_t fqz_dec(const uint8_t *in, int64_t n, int64_t total,
                     int gflags, int nparam, int max_sel, int gmax_sym,
                     const uint8_t *stab,

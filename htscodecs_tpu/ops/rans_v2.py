@@ -756,9 +756,11 @@ def _vmem_engine_ok() -> bool:
 
 
 def _route_vmem(rf: str, A: int, n_words: int) -> bool:
-    if rf == "vmem":
-        return True
     from . import rans_vmem
+    if rf == "vmem":
+        # even explicit requests honour the VMEM capacity gate: past it
+        # the Mosaic compile fails outright (round-4: A=64 x 26k words)
+        return rans_vmem.fits(A, n_words)
     return (rf == "auto" and _vmem_engine_ok()
             and rans_vmem.fits(A, n_words))
 
@@ -779,11 +781,14 @@ def dec_o1_batch(states, words, out_sz: int, alpha, packed, shift: int):
     states, words, alpha, packed, B = _pad128(
         np.asarray(states), np.asarray(words),
         np.asarray(alpha), np.asarray(packed))
+    var = dict(_DEC_VARIANT)
+    if var["row_fetch"] == "vmem":       # capacity-gated fallback
+        var["row_fetch"] = "auto"
     out = _dec_v2_to_bytes(
         jnp.asarray(states.astype(np.uint32)),
         jnp.asarray(_chunkify(words)),
         jnp.asarray(packed), jnp.asarray(alpha),
-        shift, K, q, out_sz, 1, **_DEC_VARIANT)
+        shift, K, q, out_sz, 1, **var)
     return np.asarray(out)[:B]
 
 

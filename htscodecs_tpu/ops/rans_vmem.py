@@ -86,8 +86,21 @@ def _cdiv(a, b):
 
 
 def fits(A: int, n_words: int) -> bool:
-    """Can a batch with this alphabet/stream size use the VMEM engine?"""
-    return A <= rans_v2.MAX_DENSE_A and n_words <= NW_MAX
+    """Can a batch with this alphabet/stream size use the VMEM engine?
+
+    The decode kernel holds the word stream ((NW/2+CW) i32 rows x BT
+    lanes) AND the pair-packed tables (A x ceil((A+1)/2) x 4 x BT i32)
+    resident per tile; Mosaic rejects the kernel when their sum tops
+    ~10.5 MB of the ~16 MB/core budget (measured round 4: A=64 at
+    NW=26624 fails to compile, A=48 at NW=24576 is fine).  Gate on the
+    actual estimate so callers fall back to the XLA scan instead of
+    tripping a compile error mid-tune."""
+    if A > rans_v2.MAX_DENSE_A or n_words > NW_MAX:
+        return False
+    NW = _cdiv(n_words, NW_STEP) * NW_STEP
+    words_b = (_cdiv(NW, CW) * CW2 + W2) * BT * 4
+    tbl_b = A * _cdiv(A + 1, 2) * 4 * BT * 4
+    return words_b + tbl_b <= int(10.5 * 2**20)
 
 
 # ---------------------------------------------------------------------------
