@@ -1110,7 +1110,8 @@ def compress(data, lens, flags=None, vers: int = 4, strat: int = 0,
     return bytes(out) + rc.finish()
 
 
-def compress_batch_device(jobs, vers: int = 4) -> list[bytes] | None:
+def compress_batch_device(jobs, vers: int = 4,
+                          **kernel_kw) -> list[bytes] | None:
     """Batched fqz encode through the device range coder.
 
     The serial per-byte work splits in two (reference loop:
@@ -1158,7 +1159,7 @@ def compress_batch_device(jobs, vers: int = 4) -> list[bytes] | None:
         heads.append(bytes(out))
         tris.append(tri)
         callers.append(caller_flags)
-    payloads = rc_vmem.enc_triples_batch(tris)
+    payloads = rc_vmem.enc_triples_batch(tris, **kernel_kw)
     if payloads is None:
         return None
     for caller_flags in callers:
