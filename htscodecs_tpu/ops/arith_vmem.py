@@ -131,8 +131,15 @@ def _div_u32_u32_capped(code, r):
     compared against code via _mul_u32_hi_lo).  Valid-stream quotients
     are < total <= 2^16 with f32 error <= ~2; four fixup rounds cover
     the clamp boundary as well."""
-    rf = 1.0 / jnp.maximum(r.astype(jnp.float32), 1.0)
-    q = (code.astype(jnp.float32) * rf).astype(jnp.int32)
+    # u32 -> f32 via 16-bit halves: Mosaic has no uint32->float32 cast
+    def _uf(x):
+        return ((x >> 16).astype(jnp.int32).astype(jnp.float32)
+                * 65536.0
+                + (x & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(
+                    jnp.float32))
+
+    rf = 1.0 / jnp.maximum(_uf(r), 1.0)
+    q = (_uf(code) * rf).astype(jnp.int32)
     q = jnp.clip(q, 0, 0x1FFFF).astype(jnp.uint32)
     for _ in range(4):
         hi, lo = _mul_u32_hi_lo(q, r)
@@ -141,7 +148,8 @@ def _div_u32_u32_capped(code, r):
         hi2, lo2 = _mul_u32_hi_lo(q + 1, r)
         under = (hi2 == 0) & (lo2 <= code)        # (q+1)*r <= code
         q = jnp.where(under, q + 1, q)
-    return jnp.minimum(q, jnp.uint32(0xFFFF))
+    # minimum on u32 lowers to minui, which Mosaic can't legalize
+    return jnp.where(q > jnp.uint32(0xFFFF), jnp.uint32(0xFFFF), q)
 
 
 # ---------------------------------------------------------------------------
@@ -414,8 +422,8 @@ def _build_dec_kernel(M: int, NCW: int, capo: int):
             ok = rng >= tot_i.astype(jnp.uint32)
             r = jnp.where(ok, _div_u32_u16(rng, tot_i), rng)
             target = jnp.where(
-                ok, _div_u32_u32_capped(code, jnp.maximum(
-                    r, jnp.uint32(1))), jnp.uint32(0))
+                ok, _div_u32_u32_capped(code, jnp.where(
+                    r == 0, jnp.uint32(1), r)), jnp.uint32(0))
             tgt = target.astype(jnp.int32)
 
             # ---- search by cumulative frequency ----
