@@ -245,11 +245,15 @@ def bench_corpus(name, blocks, check_exact=True):
     # re-running.
     seg_cap = rans_v2.SEG_CAP
     seg_tight = 0
+    # Pallas engines need a real TPU backend; the CPU dress rehearsal
+    # (HTSCODECS_TPU_BENCH_QUICK) warms/tunes the XLA scan instead
+    _pallas_ok = rans_v2._vmem_engine_ok()
+    _warm_rf = "pfv" if _pallas_ok else "onehot"
     for cap in (rans_v2.SEG_CAP, rans_v2.SEG_CAP2, rans_v2.SEG):
         seg_cap = cap
         # warm with the pfv engine: picks the tier AND reports the
         # batch's true max segment count (onehot reports none)
-        _w = enc_pipeline(cap, "pfv")
+        _w = enc_pipeline(cap, _warm_rf)
         if _w is None:
             return None                   # wide alphabet: declined
         _ovf = bool(np.asarray(_w[9]))
@@ -275,6 +279,15 @@ def bench_corpus(name, blocks, check_exact=True):
         else:
             cands = [("pfv", "s12"), ("pfv", "p12"), ("pfv", "host"),
                      ("vmem", "p12"), ("vmem", "d2h")]
+        if not _pallas_ok:
+            cands = [c for c in cands if c[0] not in ("pfv", "vmem")]
+            cands = cands or [("onehot", "d2h")]
+        elif A_pad * rans_vmem._cdiv(A_pad + 1, 2) * 4 * 128 * 4 \
+                > int(8 * 2**20):
+            # the chain enc kernel's x4 lane-replicated table tops the
+            # VMEM budget (A=96 measured HTTP 500 in round 4); pfv
+            # holds no tables and stays available
+            cands = [c for c in cands if c[0] != "vmem"]
         ran = []           # (t, rf, hd, hdr_digest)
         warmed = set()
         for rf_c, hd_c in cands:
@@ -385,11 +398,13 @@ def bench_corpus(name, blocks, check_exact=True):
     w16 = w_trim.astype(jnp.uint16)
     sh32 = shiftv.astype(jnp.int32)
 
+    btc = rans_vmem.pick_bt(A_pad, int(w16.shape[1]))
+
     def dec_pipeline(rf, wn):
         t0 = time.time()
         if rf == "vmem":
             out = rans_vmem._dec_vmem(st_T, w16, packed_d, al_T, sh32,
-                                      A_pad, NWc, q, q, Nc, 1)
+                                      A_pad, NWc, q, q, Nc, 1, bt=btc)
         else:
             out = dec(st_d, w_trim, packed_d, alpha_d, shiftv, cap,
                       rf, wn)
@@ -415,9 +430,9 @@ def bench_corpus(name, blocks, check_exact=True):
             dec_cands = [("vmem", "-"), ("b16", "w128")]
         else:
             dec_cands = [("vmem", "-"), ("onehot", "w128")]
-        if not rans_vmem.fits(A_pad, int(w16.shape[1])):
-            # stream+tables top the VMEM budget: the Mosaic compile
-            # would fail outright (round-4: A=64 x 26k words)
+        if not btc:
+            # stream+tables top the VMEM budget at every tile width:
+            # the Mosaic compile would fail outright
             dec_cands = [c for c in dec_cands if c[0] != "vmem"]
         best = None
         for rf, wn in dec_cands:
@@ -450,7 +465,8 @@ def bench_corpus(name, blocks, check_exact=True):
     if PROFILE:
         if dec_rf == "vmem":
             dec_l = rans_vmem._dec_vmem.lower(
-                st_T, w16, packed_d, al_T, sh32, A_pad, NWc, q, q, Nc, 1)
+                st_T, w16, packed_d, al_T, sh32, A_pad, NWc, q, q, Nc,
+                1, bt=btc)
         else:
             dec_l = dec.lower(st_d, w_trim, packed_d, alpha_d, shiftv,
                               cap, dec_rf, dec_wn)

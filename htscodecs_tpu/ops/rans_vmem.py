@@ -85,22 +85,34 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def fits(A: int, n_words: int) -> bool:
-    """Can a batch with this alphabet/stream size use the VMEM engine?
-
-    The decode kernel holds the word stream ((NW/2+CW) i32 rows x BT
-    lanes) AND the pair-packed tables (A x ceil((A+1)/2) x 4 x BT i32)
-    resident per tile; Mosaic rejects the kernel when their sum tops
-    ~10.5 MB of the ~16 MB/core budget (measured round 4: A=64 at
-    NW=26624 fails to compile, A=48 at NW=24576 is fine).  Gate on the
-    actual estimate so callers fall back to the XLA scan instead of
-    tripping a compile error mid-tune."""
-    if A > rans_v2.MAX_DENSE_A or n_words > NW_MAX:
-        return False
+def _vmem_est(A: int, n_words: int, bt: int) -> int:
     NW = _cdiv(n_words, NW_STEP) * NW_STEP
-    words_b = (_cdiv(NW, CW) * CW2 + W2) * BT * 4
-    tbl_b = A * _cdiv(A + 1, 2) * 4 * BT * 4
-    return words_b + tbl_b <= int(10.5 * 2**20)
+    words_b = (_cdiv(NW, CW) * CW2 + W2) * bt * 4
+    tbl_b = A * _cdiv(A + 1, 2) * bt * 4      # deduped: 1 copy/block
+    return words_b + tbl_b
+
+
+def pick_bt(A: int, n_words: int) -> int:
+    """Blocks-per-tile for the decode kernel, or 0 if no tile fits.
+
+    The decode kernel holds the word stream ((NW/2+CW) i32 rows x bt
+    lanes) AND the pair-packed tables (A x ceil((A+1)/2) x bt i32, one
+    copy per block since round 5's lane-group dedup) resident per
+    tile; Mosaic rejects the kernel when their sum tops ~10 MB of the
+    ~16 MB/core budget (round 4, pre-dedup accounting: 10.69 MB fails,
+    8.41 compiles).  bt must stay 128: Pallas requires the last block
+    dim to be 128-divisible (a bt=64 tile is rejected outright —
+    probed round 5, docs/ubench_uni64_r5.py)."""
+    if A > rans_v2.MAX_DENSE_A or n_words > NW_MAX:
+        return 0
+    if _vmem_est(A, n_words, BT) <= int(9.8 * 2**20):
+        return BT
+    return 0
+
+
+def fits(A: int, n_words: int) -> bool:
+    """True when some decode tile geometry fits the VMEM budget."""
+    return pick_bt(A, n_words) != 0
 
 
 # ---------------------------------------------------------------------------
@@ -108,22 +120,30 @@ def fits(A: int, n_words: int) -> bool:
 
 
 def _build_kernel(A: int, NP: int, AP: int, NC2: int, q: int, K: int,
-                  order: int):
+                  order: int, bt: int = BT):
     """One (alphabet, stream-bucket, block-geometry) kernel.
 
     Refs:
-      x0_ref    (4, BT) u32     initial states (lane rows)
-      sh_ref    (1, 4, BT) i32  per-block shift, lane-tiled
-      words_ref (NWp2, BT) i32  word stream: 2 u16 words per entry,
+      x0_ref    (4, bt) u32     initial states (lane rows)
+      sh_ref    (1, 4, bt) i32  per-block shift, lane-tiled
+      words_ref (NWp2, bt) i32  word stream: 2 u16 words per entry,
                 transposed, padded
-      tbl_ref   (Ac, NP, 4*BT) i32  pair-packed cumulative bases,
-                lane-tiled (Ac = A for order 1, 1 for order 0)
-      alpha_ref (AP, 4, BT) i32 dense index -> byte, 4 bytes per entry
-      out_ref   (P4, 4, BT) u32 4 decoded bytes per entry (LE by step)
-      xs/pq/cx  scratch: states (1,4BT) u32 / word ptr (1,BT) i32 /
-                context (1,4BT) i32
+      tbl_ref   (Ac, NP, bt) i32  pair-packed cumulative bases, one
+                copy per block (Ac = A for order 1, 1 for order 0);
+                the 4 rANS lanes of a block share one table, so the
+                where-chain runs per lane group on (NP, bt) tiles —
+                the same select count as a replicated (NP, 4*bt)
+                chain at 1/4 the VMEM residency
+      alpha_ref (AP, 4, bt) i32 dense index -> byte, 4 bytes per entry
+      out_ref   (P4, 4, bt) u32 4 decoded bytes per entry (LE by step)
+      xs/pq/cx  scratch: states (1,4bt) u32 / word ptr (1,bt) i32 /
+                context (1,4bt) i32
+
+    ``bt`` is the blocks-per-tile geometry from pick_bt(): 128 fills
+    one block per VPU lane; 64 halves the resident stream+tables for
+    big (A, NW) combos (the folded 4*bt minor still fills 256 lanes).
     """
-    M = 4 * BT
+    M = 4 * bt
 
     def kernel(x0_ref, sh_ref, words_ref, tbl_ref, alpha_ref, out_ref,
                xs, pq, cx):
@@ -133,31 +153,31 @@ def _build_kernel(A: int, NP: int, AP: int, NC2: int, q: int, K: int,
         @pl.when(j == 0)
         def _init():
             xs[:] = x0_ref[:].reshape(1, M)
-            pq[:] = jnp.zeros((1, BT), jnp.int32)
+            pq[:] = jnp.zeros((1, bt), jnp.int32)
             cx[:] = jnp.zeros((1, M), jnp.int32)
 
         shr = sh_ref[:].reshape(1, M).astype(jnp.uint32)
         mask = (jnp.uint32(1) << shr) - 1
-        # lane-3 mask in the folded minor (l*BT + b)
-        lane3 = lax.broadcasted_iota(jnp.int32, (1, M), 1) >= 3 * BT
+        # lane-3 mask in the folded minor (l*bt + b)
+        lane3 = lax.broadcasted_iota(jnp.int32, (1, M), 1) >= 3 * bt
 
         # ---- window refill: one-hot chain over CW-word anchors ----
-        p = pq[:]                                        # (1, BT) i32
-        c0 = jnp.minimum(p // CW, NC2 - 1)               # (1, BT)
+        p = pq[:]                                        # (1, bt) i32
+        c0 = jnp.minimum(p // CW, NC2 - 1)               # (1, bt)
         win = words_ref[(NC2 - 1) * CW2:(NC2 - 1) * CW2 + W2, :]
         for r in range(NC2 - 1):
             seg = words_ref[r * CW2:r * CW2 + W2, :]
             win = jnp.where(c0 == r, seg, win)
-        base = c0 * CW                                   # (1, BT) words
+        base = c0 * CW                                   # (1, bt) words
 
         Ac = tbl_ref.shape[0]
-        tbl = tbl_ref[:].reshape(Ac, NP, M)
+        tbl = tbl_ref[:]                                 # (Ac, NP, bt)
         alpha = alpha_ref[:].reshape(AP, M)
 
         iota_np = lax.broadcasted_iota(jnp.int32, (NP, M), 0)
         lo_idx = 2 * iota_np                             # pair -> entry
         hi_idx = 2 * iota_np + 1
-        iota_w = lax.broadcasted_iota(jnp.int32, (W2, BT), 0)
+        iota_w = lax.broadcasted_iota(jnp.int32, (W2, bt), 0)
         BIG = jnp.int32(1 << 25)
 
         def step(u, X, ctx, p, acc):
@@ -168,13 +188,20 @@ def _build_kernel(A: int, NP: int, AP: int, NC2: int, q: int, K: int,
                 act = jnp.broadcast_to(s < K, (1, M))
             m = (X & mask).astype(jnp.int32)             # (1, M)
 
-            # ---- context row fetch: where-chain over packed pairs ----
+            # ---- context row fetch: where-chain over packed pairs,
+            # per lane group (the groups share the per-block table) ----
             if order == 1:
-                row = tbl[A - 1]
-                for a in range(A - 2, -1, -1):
-                    row = jnp.where(ctx == a, tbl[a], row)
+                ctx4 = ctx.reshape(4, bt)
+                rows = []
+                for l in range(4):
+                    cl = ctx4[l:l + 1]                   # (1, bt)
+                    rl = tbl[A - 1]                      # (NP, bt)
+                    for a in range(A - 2, -1, -1):
+                        rl = jnp.where(cl == a, tbl[a], rl)
+                    rows.append(rl)
+                row = jnp.concatenate(rows, axis=1)      # (NP, M)
             else:
-                row = tbl[0]                             # (NP, M) i32
+                row = jnp.concatenate([tbl[0]] * 4, axis=1)
             lo = row & PACK_M
             hi = row >> PACK_B
 
@@ -205,19 +232,19 @@ def _build_kernel(A: int, NP: int, AP: int, NC2: int, q: int, K: int,
             # ---- state advance + renorm word claim ----
             Xn = fu * (X >> shr) + m.astype(jnp.uint32) - bu
             need = (Xn < L) & act
-            ni = need.astype(jnp.int32).reshape(4, BT)
+            ni = need.astype(jnp.int32).reshape(4, bt)
             e1 = ni[0:1]
             e2 = e1 + ni[1:2]
             e3 = e2 + ni[2:3]
-            tot = e3 + ni[3:4]                           # (1, BT)
+            tot = e3 + ni[3:4]                           # (1, bt)
             excl = jnp.concatenate(
-                [jnp.zeros((1, BT), jnp.int32), e1, e2, e3], axis=0)
-            offb = (p - base) + excl                     # (4, BT) words
+                [jnp.zeros((1, bt), jnp.int32), e1, e2, e3], axis=0)
+            offb = (p - base) + excl                     # (4, bt) words
             sel = jnp.where(ni > 0, offb, 2 * W)
             wrows = []
             for l in range(4):
                 s2 = sel[l:l + 1, :]
-                ohw = iota_w == (s2 >> 1)                # (W2, BT)
+                ohw = iota_w == (s2 >> 1)                # (W2, bt)
                 # one-hot SUM, not max: the packed entry is negative
                 # when the high word has bit 15 set
                 pick = jnp.sum(jnp.where(ohw, win, 0),
@@ -246,7 +273,7 @@ def _build_kernel(A: int, NP: int, AP: int, NC2: int, q: int, K: int,
             acc = jnp.zeros((1, M), jnp.uint32)
             for k in range(4):
                 X, ctx, p, acc = step(r4 * 4 + k, X, ctx, p, acc)
-            out_ref[r4] = acc.reshape(4, BT)
+            out_ref[r4] = acc.reshape(4, bt)
         xs[:] = X
         cx[:] = ctx
         pq[:] = p
@@ -260,16 +287,17 @@ def _build_kernel(A: int, NP: int, AP: int, NC2: int, q: int, K: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("A", "NC2", "q", "K", "N", "order", "interpret"))
+    static_argnames=("A", "NC2", "q", "K", "N", "order", "bt",
+                     "interpret"))
 def _dec_vmem(statesT, words, packed, alphaT, shiftv,
               A: int, NC2: int, q: int, K: int, N: int, order: int,
-              interpret: bool = False):
+              bt: int = BT, interpret: bool = False):
     """statesT (4, B) u32; words (B, Wd) u16; packed (B,A,A) i32
     (order-0 (B,A)); alphaT (A, B) u8; shiftv (B,) i32.
-    Returns (B, N) u8."""
+    Returns (B, N) u8.  ``bt`` = blocks per tile (pick_bt)."""
     B = statesT.shape[1]
-    NB = B // BT
-    M = 4 * BT
+    NB = B // bt
+    M = 4 * bt
     KO = _cdiv(K, PER)
     NWp2 = NC2 * CW2 + W2
 
@@ -285,10 +313,10 @@ def _dec_vmem(statesT, words, packed, alphaT, shiftv,
             [bfe, jnp.zeros((B, Ac, pad), jnp.int32)], axis=2)
     pairs = bfe.reshape(B, Ac, NP, 2)
     tbl = pairs[..., 0] | (pairs[..., 1] << PACK_B)      # (B, Ac, NP)
-    # lane-tiled 4D: (Ac, NP, lane, B) — the block axis must stay the
-    # rightmost dim so BlockSpec tiling picks whole lanes per tile
-    tbl = jnp.broadcast_to(
-        jnp.transpose(tbl, (1, 2, 0))[:, :, None, :], (Ac, NP, 4, B))
+    # (Ac, NP, B): one copy per block — the kernel fetches per lane
+    # group; the block axis must stay the rightmost dim so BlockSpec
+    # tiling picks whole lanes per tile
+    tbl = jnp.transpose(tbl, (1, 2, 0))
 
     # word stream: 2 u16 per i32 row, transposed, padded
     Wd = words.shape[1]
@@ -308,28 +336,28 @@ def _dec_vmem(statesT, words, packed, alphaT, shiftv,
            | (al4[:, 3] << 24))                          # (AP, B)
     alP = jnp.broadcast_to(alP[:, None, :], (AP, 4, B))
 
-    kern = _build_kernel(A, NP, AP, NC2, q, K, order)
+    kern = _build_kernel(A, NP, AP, NC2, q, K, order, bt)
     out = pl.pallas_call(
         kern,
         grid=(NB, KO),
         in_specs=[
-            pl.BlockSpec((4, BT), lambda i, j: (0, i),
+            pl.BlockSpec((4, bt), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, BT), lambda i, j: (0, 0, i),
+            pl.BlockSpec((1, 4, bt), lambda i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NWp2, BT), lambda i, j: (0, i),
+            pl.BlockSpec((NWp2, bt), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Ac, NP, 4, BT), lambda i, j: (0, 0, 0, i),
+            pl.BlockSpec((Ac, NP, bt), lambda i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((AP, 4, BT), lambda i, j: (0, 0, i),
+            pl.BlockSpec((AP, 4, bt), lambda i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((P4, 4, BT), lambda i, j: (j, 0, i),
+        out_specs=pl.BlockSpec((P4, 4, bt), lambda i, j: (j, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((KO * P4, 4, B), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((1, M), jnp.uint32),
-            pltpu.VMEM((1, BT), jnp.int32),
+            pltpu.VMEM((1, bt), jnp.int32),
             pltpu.VMEM((1, M), jnp.int32),
         ],
         interpret=interpret,
@@ -374,26 +402,32 @@ def dec_o1_batch(states, words, out_sz: int, alpha, packed, shift,
     rans_v2.dec_o1_batch; ``shift`` may be an int or a (B,) vector."""
     q = out_sz >> 2
     K = q + (out_sz - 4 * q)
+    nw = int(np.asarray(words).shape[1])
     states, words, alpha, packed, shiftv, B, NC2 = _prep(
         states, words, alpha, packed, shift)
+    bt = pick_bt(packed.shape[1], nw) or BT
     out = _dec_vmem(
         jnp.asarray(states.astype(np.uint32).T),
         jnp.asarray(words.astype(np.uint16)),
         jnp.asarray(packed), jnp.asarray(alpha.T), jnp.asarray(shiftv),
-        packed.shape[1], NC2, q, K, out_sz, 1, interpret=interpret)
+        packed.shape[1], NC2, q, K, out_sz, 1, bt=bt,
+        interpret=interpret)
     return np.asarray(out)[:B]
 
 
 def dec_o0_batch(states, words, out_sz: int, alpha, packed,
                  shift=12, interpret: bool = False):
     q = -(-out_sz // 4)
+    nw = int(np.asarray(words).shape[1])
     states, words, alpha, packed, shiftv, B, NC2 = _prep(
         states, words, alpha, packed, shift)
+    bt = pick_bt(packed.shape[1], nw) or BT
     out = _dec_vmem(
         jnp.asarray(states.astype(np.uint32).T),
         jnp.asarray(words.astype(np.uint16)),
         jnp.asarray(packed), jnp.asarray(alpha.T), jnp.asarray(shiftv),
-        packed.shape[1], NC2, q, q, out_sz, 0, interpret=interpret)
+        packed.shape[1], NC2, q, q, out_sz, 0, bt=bt,
+        interpret=interpret)
     return np.asarray(out)[:B]
 
 
