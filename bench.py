@@ -125,6 +125,82 @@ def _trace_dir():
     return PROFILE if PROFILE not in ("", "1") else "/tmp/jax_trace_bench"
 
 
+def _stream_enc_probe(name, blocks, jb, seg_tight):
+    """Pipelined streaming encode (parallel/streaming.py): batch k's
+    host work (meta/freq D2H, header serialization) overlaps batch
+    k+1's device work — how a production CRAM writer drives the codec
+    (the reference test tools likewise loop blocks through one open
+    stream).  Returns (per-corpus-pass seconds, verify_fn) or None.
+
+    Accounting: one warm pass compiles; the timed run streams the
+    corpus once (small corpora: 6 repeats) and reports wall time per
+    corpus pass, steady-state.
+    """
+    from htscodecs_tpu.parallel.streaming import StreamEncoder
+    from htscodecs_tpu.models import rans4x16
+    from htscodecs_tpu import native
+
+    Bc, Nc = blocks.shape
+    # batches are pre-staged device slices: H2D staging is excluded
+    # from the accounting exactly as in the one-shot pipeline (the
+    # axon tunnel would only measure the harness)
+    if Bc <= 1024:
+        batches = [jb] * (2 if QUICK else 6)
+        host0 = blocks
+        passes = len(batches)
+    else:
+        CH = 3072
+        if Bc % CH:
+            return None
+        one = [jb[i:i + CH] for i in range(0, Bc, CH)]
+        host0 = blocks[:CH]
+        batches = one * 2
+        passes = 2
+
+    def run(keep_first):
+        enc = StreamEncoder(order=1, depth=2, assemble=False,
+                            seg_cap=seg_tight or None)
+        first = None
+        t0 = time.time()
+        for bt in batches:
+            enc.submit(bt)
+            for r in enc.drain_ready():
+                if keep_first and first is None:
+                    first = r
+                del r
+        for r in enc.finish():
+            if keep_first and first is None:
+                first = r
+            del r
+        return time.time() - t0, first
+
+    _dt, first = run(True)            # warm (compiles) + verify output
+    if first is None or not isinstance(first, tuple):
+        return None                   # host fallback path: not a win
+
+    # byte-exactness of the streamed output (one unflagged block vs
+    # the independent host encoder), checked before the timed run so
+    # the big device arrays can be dropped
+    exact = None
+    hdrs, st_d, w_d, counts, flag, _sh = first
+    for chk in np.flatnonzero(np.asarray(flag) == 0)[:4]:
+        chk = int(chk)
+        body = rans4x16._compress_o1(host0[chk])
+        blk_states = np.asarray(st_d[chk]).astype("<u4").tobytes()
+        blk_words = np.asarray(
+            w_d[chk, :counts[chk]]).astype("<u2").tobytes()
+        off, *_t = native.parse_tables_o1(body)
+        exact = (body[off:] == blk_states + blk_words
+                 and hdrs[chk] == body[:off])
+        break
+    del first, hdrs, st_d, w_d
+    if exact is False:
+        return None
+
+    dt, _ = run(False)
+    return dt / passes, exact
+
+
 def bench_corpus(name, blocks, check_exact=True):
     import jax
     import jax.numpy as jnp
@@ -350,6 +426,24 @@ def bench_corpus(name, blocks, check_exact=True):
         _TUNE_CACHE[("enc", A_pad, Bc)] = (enc_rf, enc_hdr)
     sc_best = seg_tight if (seg_tight and enc_rf in
                             ("vmem", "pfv")) else seg_cap
+
+    # streaming-pipeline candidate: overlaps batch k's host work with
+    # batch k+1's device work (table build + transfer latencies hide)
+    t_stream = None
+    try:
+        spr = _stream_enc_probe(name, blocks, jb, seg_tight)
+        if spr is not None:
+            t_stream, s_exact = spr
+            print(json.dumps({"tune": f"{name}:enc",
+                              "variant": "stream/u16",
+                              "t_s": round(t_stream, 3),
+                              "exact": s_exact}),
+                  file=sys.stderr, flush=True)
+    except Exception as e:
+        print(json.dumps({"tune": f"{name}:enc", "variant": "stream/u16",
+                          "error": str(e)[:160]}),
+              file=sys.stderr, flush=True)
+
     r = enc_pipeline(sc_best, enc_rf, enc_hdr)  # steady: best of two
     t_enc = r[0]
     del r
@@ -357,6 +451,10 @@ def bench_corpus(name, blocks, check_exact=True):
     t_enc = min(t_enc, r[0])
     (dt, meta, hdrs, alpha_d, packed_d, meta_d, st_d, w_d, n_d, ovf,
      _mseg) = r
+    enc_var = f"{enc_rf}/{enc_hdr}"
+    if t_stream is not None and t_stream < t_enc:
+        t_enc = t_stream
+        enc_var = "stream/u16"
     assert not bool(np.asarray(ovf)), f"{name}: compaction overflow"
     if hdrs is None:
         return None
@@ -532,7 +630,7 @@ def bench_corpus(name, blocks, check_exact=True):
         "band_flags": nflag, "mismatches": mism,
         "byte_exact": bool(byte_exact),
         "exact_checked": bool(exact_checked) if check_exact else None,
-        "variants": {"enc": f"{enc_rf}/{enc_hdr}",
+        "variants": {"enc": enc_var,
                      "dec": f"{dec_rf}/{dec_wn}"},
     }
 

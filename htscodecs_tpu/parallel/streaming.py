@@ -63,12 +63,16 @@ class StreamEncoder:
     """
 
     def __init__(self, order: int = 1, depth: int = 2,
-                 assemble: bool = True):
+                 assemble: bool = True, seg_cap: int | None = None):
         if order not in (0, 1):
             raise ValueError("StreamEncoder handles plain order 0/1")
         self.order = order
         self.depth = max(int(depth), 1)
         self.assemble = assemble
+        # seg_cap: first compaction tier for the VMEM encode kernel
+        # (bench hugs it to the corpus's true max segment count; the
+        # overflow-retry ladder in _collect still guarantees progress)
+        self.seg_cap = seg_cap
         self._q: deque[_Pending] = deque()
         self._ready_buf: list = []
 
@@ -76,29 +80,46 @@ class StreamEncoder:
 
     def submit(self, blocks) -> None:
         """Dispatch one batch's device work; never blocks on device
-        results (the H2D staging copy is synchronous in jax)."""
+        results (the H2D staging copy is synchronous in jax).
+
+        ``blocks`` may be a numpy array OR an already-staged device
+        array (e.g. a slice of a resident corpus): the latter skips
+        the H2D copy, but then ``assemble=False`` is required (the
+        host-side CAT framing and wide-alphabet fallback need host
+        bytes)."""
+        import jax
         import jax.numpy as jnp
         from ..ops import rans_v2, rans_vmem, tables_v2
 
-        blocks = np.ascontiguousarray(np.asarray(blocks, np.uint8))
+        staged = isinstance(blocks, jax.Array)
+        if staged and self.assemble:
+            raise ValueError("pre-staged submit requires assemble=False")
+        if not staged:
+            blocks = np.ascontiguousarray(np.asarray(blocks, np.uint8))
         if blocks.ndim != 2:
             raise ValueError("submit expects a (B, N) batch")
         while len(self._q) >= self.depth:
             # bound in-flight device memory; callers normally drain
             self._ready_buf.append(self._collect(self._q.popleft()))
-        jb = jnp.asarray(blocks)
+        jb = blocks if staged else jnp.asarray(blocks)
+        if staged:
+            blocks = None
         if self.order == 1:
             st = tables_v2.build_o1_device_async(jb)
         else:
             st = None
         if st is None and self.order == 1:
             # wide alphabet / tiny blocks: host path at collect time
+            if blocks is None:
+                blocks = np.asarray(jb)
             self._q.append(_Pending(blocks=blocks, jb=None, tables=None,
                                     scan=None, order=self.order,
                                     assemble=self.assemble))
             return
         if self.order == 0:
             from ..ops import tables_v2 as tv
+            if blocks is None:
+                blocks = np.asarray(jb)
             r0 = tv.build_o0_device(blocks)
             if r0 is None:
                 self._q.append(_Pending(blocks=blocks, jb=None,
@@ -119,8 +140,8 @@ class StreamEncoder:
         if use_vmem:
             st_d, w_d, n_d, ovf, _ms = rans_vmem._enc_vmem(
                 jb, alpha_d, packed_d,
-                meta_d[:, 1].astype(jnp.int32), blocks.shape[1], 1,
-                rans_v2.SEG_CAP, prefetch=True)
+                meta_d[:, 1].astype(jnp.int32), jb.shape[1], 1,
+                self.seg_cap or rans_v2.SEG_CAP, prefetch=True)
         else:
             st_d, w_d, n_d, ovf = rans_v2._enc_scan_v2_pb(
                 jb, alpha_d, packed_d, meta_d[:, 1], 1,
@@ -150,7 +171,7 @@ class StreamEncoder:
         from ..ops import rans_v2, rans_vmem, tables_v2
         if p.tables is None:                  # host fallback
             return [rans4x16.compress(b, p.order) for b in p.blocks]
-        B, N = p.blocks.shape
+        B, N = (p.blocks if p.blocks is not None else p.jb).shape
         if p.order == 0:
             _tag, asz, fhdr = p.tables
             hdrs = native.serialize_o0_batch(fhdr)
