@@ -208,8 +208,13 @@ def get_enc_variant():
 
 
 def _round_a(a: int) -> int:
-    """Pad alphabet size to a small set of buckets to limit jit variants."""
-    for cand in (4, 8, 16, 24, 32, 48, 64, 96):
+    """Pad alphabet size to a small set of buckets to limit jit variants.
+
+    72/80 exist for the 65..80 band (e.g. 64-symbol data plus the
+    sentinel slot): the jump to 96 costs +77% decode-table VMEM and
+    pushed near-incompressible A=64 payloads off the VMEM decode
+    kernel entirely (round 5, docs/ubench_uni64_r5.py)."""
+    for cand in (4, 8, 16, 24, 32, 48, 64, 72, 80, 96):
         if a <= cand:
             return cand
     return a

@@ -98,14 +98,18 @@ def pick_bt(A: int, n_words: int) -> int:
     The decode kernel holds the word stream ((NW/2+CW) i32 rows x bt
     lanes) AND the pair-packed tables (A x ceil((A+1)/2) x bt i32, one
     copy per block since round 5's lane-group dedup) resident per
-    tile; Mosaic rejects the kernel when their sum tops ~10 MB of the
-    ~16 MB/core budget (round 4, pre-dedup accounting: 10.69 MB fails,
-    8.41 compiles).  bt must stay 128: Pallas requires the last block
-    dim to be 128-divisible (a bt=64 tile is rejected outright —
-    probed round 5, docs/ubench_uni64_r5.py)."""
+    tile; Mosaic rejects the kernel when their sum tops the per-core
+    budget.  Measured boundary on the chip (round-5 bisect, NC2=200
+    long-stream cases): est 6.90 MB compiles byte-exact, est 7.61 MB
+    HTTP-500s — the gap to the ~16 MB/core budget is Pallas's grid
+    double-buffering of the words tile plus kernel scratch.  Long
+    refill chains are NOT the limit (NC2=200 compiles fine at A<=48).
+    bt must stay 128: Pallas requires the last block dim to be
+    128-divisible (a bt=64 tile is rejected outright — probed round
+    5, docs/ubench_uni64_r5.py)."""
     if A > rans_v2.MAX_DENSE_A or n_words > NW_MAX:
         return 0
-    if _vmem_est(A, n_words, BT) <= int(9.8 * 2**20):
+    if _vmem_est(A, n_words, BT) <= int(6.95 * 2**20):
         return BT
     return 0
 
