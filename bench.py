@@ -290,9 +290,10 @@ def bench_corpus(name, blocks, check_exact=True):
                 bm = np.asarray(bp)
                 vv = np.asarray(vp)
                 sl = slice(k * CH, k * CH + bm.shape[0])
-                fr = tables_v2.unpack_freqs_sparse12_host(bm, vv, Ap)
-                hdrs += native.serialize_o1_dense_batch(
-                    alpha_h[sl], meta[sl, 0], fr, meta[sl, 1])
+                # C-side sparse consumer: the numpy unpack measured
+                # 8.8 s at B=12288 (why s12 lost to p12 in round 4)
+                hdrs += native.serialize_o1_sparse12_batch(
+                    alpha_h[sl], meta[sl, 0], bm, vv, meta[sl, 1])
         elif hdr_src == "p12":
             alpha_h = np.asarray(alpha_d)
             Ap = int(alpha_d.shape[1])
@@ -435,12 +436,12 @@ def bench_corpus(name, blocks, check_exact=True):
         if spr is not None:
             t_stream, s_exact = spr
             print(json.dumps({"tune": f"{name}:enc",
-                              "variant": "stream/u16",
+                              "variant": "stream/auto",
                               "t_s": round(t_stream, 3),
                               "exact": s_exact}),
                   file=sys.stderr, flush=True)
     except Exception as e:
-        print(json.dumps({"tune": f"{name}:enc", "variant": "stream/u16",
+        print(json.dumps({"tune": f"{name}:enc", "variant": "stream/auto",
                           "error": str(e)[:160]}),
               file=sys.stderr, flush=True)
 
@@ -454,7 +455,7 @@ def bench_corpus(name, blocks, check_exact=True):
     enc_var = f"{enc_rf}/{enc_hdr}"
     if t_stream is not None and t_stream < t_enc:
         t_enc = t_stream
-        enc_var = "stream/u16"
+        enc_var = "stream/auto"
     assert not bool(np.asarray(ovf)), f"{name}: compaction overflow"
     if hdrs is None:
         return None

@@ -103,6 +103,9 @@ def _get_lib_locked():
     _sig(lib.r16_serialize_o1_dense_batch, i64,
          [u8p, i32p, u16p, i32p, ctypes.c_int32, ctypes.c_int32,
           u8p, i64, i64p])
+    _sig(lib.r16_serialize_o1_sparse12_batch, i64,
+         [u8p, i32p, u8p, u8p, i32p, ctypes.c_int32, ctypes.c_int32,
+          ctypes.c_int32, ctypes.c_int32, u8p, i64, i64p])
     _sig(lib.r16_serialize_o0_batch, i64,
          [u16p, ctypes.c_int32, u8p, i64, i64p])
     _sig(lib.tok3_tokenize, i64,
@@ -498,6 +501,48 @@ def serialize_o1_dense_batch(alphas: np.ndarray, asz: np.ndarray,
         al.ctypes.data_as(u8), az.ctypes.data_as(i32),
         fr.ctypes.data_as(u16), sh.ctypes.data_as(i32),
         B, Apad, arena.ctypes.data_as(u8), cap, offs.ctypes.data_as(i64))
+    if r < 0:
+        return None
+    ab = arena.tobytes()
+    return [ab[offs[b]:offs[b + 1]] for b in range(B)]
+
+
+def serialize_o1_sparse12_batch(alphas: np.ndarray, asz: np.ndarray,
+                                bitmap: np.ndarray, vals12: np.ndarray,
+                                shifts: np.ndarray):
+    """Batched order-1 header serialisation from the sparse 12-bit
+    transport (ops/tables_v2.pack_freqs_sparse12): presence bitmap
+    (B, ceil(Apad^2/8)) u8 + row-compacted packed values (B, VW) u8,
+    where VW may be any prefix wide enough for the batch's max
+    nonzero count.  Byte-identical to serialize_o1_dense_batch on the
+    unpacked frequencies; validates row normalisation in C.  Returns
+    a list of B header byte strings or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B, Apad = alphas.shape
+    al = np.ascontiguousarray(alphas, np.uint8)
+    az = np.ascontiguousarray(asz, np.int32)
+    bm = np.ascontiguousarray(bitmap, np.uint8)
+    vv = np.ascontiguousarray(vals12, np.uint8)
+    sh = np.ascontiguousarray(shifts, np.int32)
+    offs = np.empty(B + 1, np.int64)
+    cap = int(B) * (3 * Apad * Apad + 3 * Apad + 80) + 64
+    arena = np.empty(cap, np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    r = lib.r16_serialize_o1_sparse12_batch(
+        al.ctypes.data_as(u8), az.ctypes.data_as(i32),
+        bm.ctypes.data_as(u8), vv.ctypes.data_as(u8),
+        sh.ctypes.data_as(i32), B, Apad, bm.shape[1], vv.shape[1],
+        arena.ctypes.data_as(u8), cap, offs.ctypes.data_as(i64))
+    if r == -3:
+        raise ValueError("serialize_o1_sparse12: prefix narrower than "
+                         "the batch's max nonzero count")
+    if r == -4:
+        raise ValueError("serialize_o1_sparse12: context row total is "
+                         "not a power of two <= 4096")
     if r < 0:
         return None
     ab = arena.tobytes()

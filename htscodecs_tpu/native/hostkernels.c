@@ -2805,6 +2805,97 @@ API int64_t r16_serialize_o1_dense_batch(
     return pos;
 }
 
+/* Sparse 12-bit header transport consumer (tables_v2.pack_freqs_sparse12):
+ * presence bitmap (LSB-first over Apad*Apad entries) + per-row-compacted
+ * 12-bit values (3 bytes per value pair, possibly a prefix of the full
+ * packed width).  Expands each block into a dense row buffer, restores
+ * any wrapped 4096 entry via the row-sum deficit, validates that every
+ * context row is normalised (power-of-two total <= 4096 — transport
+ * sanity, ADVICE r3), then emits the byte-identical header of
+ * r16_build_tables_o1_dense.  This replaces the numpy sparse unpack
+ * (measured 8.8 s at B=12288, A=48 on this 1-core host — the reason
+ * the 28 MB 's12' transport lost to the 42.5 MB 'p12' in round 4). */
+API int64_t r16_serialize_o1_sparse12_batch(
+        const uint8_t *alphas,      /* (B, Apad) sorted, last-padded */
+        const int32_t *asz,         /* (B,) true alphabet sizes      */
+        const uint8_t *bitmap,      /* (B, BM) presence bits         */
+        const uint8_t *vals12,      /* (B, VW) packed nonzero values */
+        const int32_t *shifts,      /* (B,) 10 or 12                 */
+        int32_t B, int32_t Apad, int32_t BM, int32_t VW,
+        uint8_t *arena, int64_t arena_cap,
+        int64_t *offs /* (B+1,) */) {
+    static __thread uint8_t *scratch = NULL;
+    static __thread uint16_t *fbuf = NULL;
+    static __thread int fbuf_n = 0;
+    if (!scratch) {
+        scratch = malloc(HDR_CAP_O1);
+        if (!scratch) return -2;
+    }
+    int E = Apad * Apad;
+    if (fbuf_n < E) {
+        free(fbuf);
+        fbuf = malloc((size_t)E * sizeof(uint16_t));
+        if (!fbuf) { fbuf_n = 0; return -2; }
+        fbuf_n = E;
+    }
+    int maxv = (VW / 3) * 2;        /* values representable in prefix */
+    int64_t pos = 0;
+    for (int32_t b = 0; b < B; b++) {
+        int a = asz[b];
+        if (a < 1 || a > Apad || a > 256) return -2;
+        const uint8_t *bm = bitmap + (int64_t)b * BM;
+        const uint8_t *vp = vals12 + (int64_t)b * VW;
+        memset(fbuf, 0, (size_t)E * sizeof(uint16_t));
+        int r = 0;
+        for (int e8 = 0; e8 < BM; e8++) {
+            uint32_t bits = bm[e8];
+            while (bits) {
+                int bit = __builtin_ctz(bits);
+                bits &= bits - 1;
+                int e = e8 * 8 + bit;
+                if (e >= E) return -3;             /* pad bit set */
+                if (r >= maxv) return -3;          /* prefix too narrow */
+                const uint8_t *p3 = vp + (r >> 1) * 3;
+                uint32_t v = (r & 1)
+                    ? (uint32_t)(p3[1] >> 4) | ((uint32_t)p3[2] << 4)
+                    : (uint32_t)p3[0] | (((uint32_t)p3[1] & 0xF) << 8);
+                fbuf[e] = (uint16_t)v;
+                r++;
+            }
+        }
+        /* row totals: restore a wrapped 4096, then validate */
+        for (int k = 0; k < a; k++) {
+            uint16_t *Frow = fbuf + (int64_t)k * Apad;
+            uint32_t rs = 0, mx = 0;
+            int mi = 0;
+            for (int j = 0; j < a; j++) {
+                rs += Frow[j];
+                if (Frow[j] > mx) { mx = Frow[j]; mi = j; }
+            }
+            if (rs == 4095) { Frow[mi]++; rs++; }
+            if (rs && (((rs & (rs - 1)) != 0) || rs > 4096))
+                return -4;
+        }
+        const uint8_t *al = alphas + (int64_t)b * Apad;
+        uint32_t A[256];
+        memset(A, 0, sizeof A);
+        for (int k = 0; k < a; k++) A[al[k]] = 1;
+        uint8_t *hdr = scratch;
+        int64_t hl = 1;
+        hl += put_alphabet(hdr + hl, A);
+        for (int k = 0; k < a; k++)
+            hl += put_freq_row_dense(hdr + hl, fbuf + (int64_t)k * Apad, a);
+        hdr[0] = (uint8_t)(shifts[b] << 4);
+        hl = o1_hdr_compress(hdr, hl);
+        if (pos + hl > arena_cap) return -1;
+        memcpy(arena + pos, hdr, hl);
+        offs[b] = pos;
+        pos += hl;
+    }
+    offs[B] = pos;
+    return pos;
+}
+
 API int64_t r16_serialize_o0_batch(
         const uint16_t *freqs,      /* (B, 256) pre-shift            */
         int32_t B,

@@ -63,9 +63,12 @@ class StreamEncoder:
     """
 
     def __init__(self, order: int = 1, depth: int = 2,
-                 assemble: bool = True, seg_cap: int | None = None):
+                 assemble: bool = True, seg_cap: int | None = None,
+                 hdr: str = "auto"):
         if order not in (0, 1):
             raise ValueError("StreamEncoder handles plain order 0/1")
+        if hdr not in ("auto", "u16", "s12"):
+            raise ValueError("hdr must be auto/u16/s12")
         self.order = order
         self.depth = max(int(depth), 1)
         self.assemble = assemble
@@ -73,6 +76,16 @@ class StreamEncoder:
         # (bench hugs it to the corpus's true max segment count; the
         # overflow-retry ladder in _collect still guarantees progress)
         self.seg_cap = seg_cap
+        # header-frequency transport: 'u16' ships the dense (B, A, A)
+        # table; 's12' ships a presence bitmap + row-compacted 12-bit
+        # nonzeros (~40% of the dense bytes on real order-1 tables)
+        # consumed by the native C serializer.  'auto' picks s12 for
+        # wide alphabets where the dense transport dominates the
+        # pipeline on slow links.
+        self.hdr = hdr
+        # s12 prefix width (value pairs) learned from previous
+        # batches: homogeneous streams settle after the first batch
+        self._nzpairs: int | None = None
         self._q: deque[_Pending] = deque()
         self._ready_buf: list = []
 
@@ -136,6 +149,20 @@ class StreamEncoder:
                 order=0, assemble=self.assemble))
             return
         alpha_d, packed_d, fhdr_d, meta_d, H_d, A = st
+        s12 = (self.hdr == "s12"
+               or (self.hdr == "auto" and A > 8
+                   and native.get_lib() is not None))
+        if s12:
+            # sparse transport: pack BEFORE the scan dispatch so the
+            # D2H rides the DMA path under it
+            bm_d, v12_d, _cnts, maxnz_d = tables_v2.pack_freqs_sparse12(
+                fhdr_d)
+            P = v12_d.shape[1] // 3
+            tp = P if self._nzpairs is None else min(self._nzpairs, P)
+            v_sl = v12_d[:, :3 * tp]
+            hdr_src = (bm_d, v_sl, v12_d, maxnz_d, tp)
+        else:
+            hdr_src = None
         use_vmem = rans_v2._vmem_engine_ok()
         if use_vmem:
             st_d, w_d, n_d, ovf, _ms = rans_vmem._enc_vmem(
@@ -149,7 +176,12 @@ class StreamEncoder:
         # enqueue the transfers NOW: they ride the DMA path under the
         # scan and under the NEXT batch's device work, so collect()
         # pays (at most) one latency instead of three
-        for arr in (meta_d, fhdr_d, alpha_d, st_d, n_d):
+        pulls = [meta_d, alpha_d, st_d, n_d]
+        if s12:
+            pulls += [hdr_src[0], hdr_src[1], hdr_src[3]]
+        else:
+            pulls.append(fhdr_d)
+        for arr in pulls:
             try:
                 arr.copy_to_host_async()
             except Exception:
@@ -161,7 +193,8 @@ class StreamEncoder:
                 pass
         self._q.append(_Pending(
             blocks=blocks, jb=jb,
-            tables=("o1", alpha_d, packed_d, fhdr_d, meta_d, H_d),
+            tables=("o1", alpha_d, packed_d, fhdr_d, meta_d, H_d,
+                    hdr_src),
             scan=(st_d, w_d, n_d, ovf), order=1,
             assemble=self.assemble))
 
@@ -187,14 +220,27 @@ class StreamEncoder:
                     words[b, :counts[b]].astype("<u2").tobytes()
                 out.append(_frame_plain(0, N, body, p.blocks[b]))
             return out
-        _tag, alpha_d, packed_d, fhdr_d, meta_d, H_d = p.tables
+        _tag, alpha_d, packed_d, fhdr_d, meta_d, H_d, hdr_src = p.tables
         st_d, w_d, n_d, ovf = p.scan
         meta = np.asarray(meta_d)
-        fhdr = np.asarray(fhdr_d)
         alpha_h = np.asarray(alpha_d)
         asz, shift = meta[:, 0], meta[:, 1]
         flag = tables_v2.resolve_band_flags(meta, H_d)
-        hdrs = native.serialize_o1_dense_batch(alpha_h, asz, fhdr, shift)
+        if hdr_src is not None:
+            bm_d, v_sl, v12_d, maxnz_d, tp = hdr_src
+            mx = int(np.asarray(maxnz_d))
+            need = -(-mx // 2)
+            if need > tp:                 # prefix too narrow: re-pull
+                v_sl = v12_d[:, :3 * need]
+            self._nzpairs = max(self._nzpairs or 0,
+                                -(-need * 5 // 4))
+            hdrs = native.serialize_o1_sparse12_batch(
+                alpha_h, asz, np.asarray(bm_d), np.asarray(v_sl),
+                shift)
+        else:
+            fhdr = np.asarray(fhdr_d)
+            hdrs = native.serialize_o1_dense_batch(alpha_h, asz, fhdr,
+                                                   shift)
         if hdrs is None:
             return [rans4x16.compress(b, 1) for b in p.blocks]
         if bool(np.asarray(ovf)):

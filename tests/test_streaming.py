@@ -60,3 +60,21 @@ def test_stream_encoder_depth_bounds_in_flight():
     for batch, streams in zip(batches, outs):
         for b in range(batch.shape[0]):
             assert streams[b] == rans4x16.compress(batch[b], 1)
+
+
+def test_stream_encoder_s12_prefix_learning():
+    """The sparse header transport learns a value-prefix width from
+    batch k and re-pulls the full width when batch k+1's tables are
+    denser — streams stay byte-identical either way."""
+    enc = streaming.StreamEncoder(order=1, depth=2, hdr="s12")
+    sparse = _mk_batch(8, 2048, 6, 31)     # few nonzeros -> narrow
+    dense = _mk_batch(8, 2048, 48, 32)     # many nonzeros -> re-pull
+    outs = []
+    for bt in (sparse, dense, sparse):
+        enc.submit(bt)
+        outs += enc.drain_ready()
+    outs += enc.finish()
+    assert enc._nzpairs is not None
+    for batch, streams in zip((sparse, dense, sparse), outs):
+        for b in range(batch.shape[0]):
+            assert streams[b] == rans4x16.compress(batch[b], 1)

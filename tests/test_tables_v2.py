@@ -239,3 +239,61 @@ def test_pack_freqs_sparse12_restores_4096():
     back = tables_v2.unpack_freqs_sparse12_host(
         np.asarray(bm), np.asarray(v12), A)
     np.testing.assert_array_equal(back, f)
+
+
+def test_serialize_o1_sparse12_matches_dense():
+    """The native C sparse-transport consumer
+    (r16_serialize_o1_sparse12_batch) must emit byte-identical headers
+    to the dense serializer, for full-width AND tier-prefix value
+    pulls, and reject a too-narrow prefix / corrupt rows loudly."""
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(11)
+    B, N = 16, 8192
+    p = np.exp(-np.arange(40) / 9.0)
+    p /= p.sum()
+    blocks = rng.choice(np.arange(33, 73, dtype=np.uint8), (B, N), p=p)
+    r = tables_v2.build_o1_device(blocks)
+    assert r is not None
+    alpha_d, packed_d, asz, fhdr, shift, flag, A = r
+    alpha = np.asarray(alpha_d)
+    dense = native.serialize_o1_dense_batch(alpha, asz, fhdr, shift)
+    bm, v12, cnts, mx = tables_v2.pack_freqs_sparse12(jnp.asarray(fhdr))
+    bm, v12 = np.asarray(bm), np.asarray(v12)
+    sparse = native.serialize_o1_sparse12_batch(alpha, asz, bm, v12,
+                                                shift)
+    assert sparse == dense
+    tp = -(-int(np.asarray(mx)) // 2)
+    sparse2 = native.serialize_o1_sparse12_batch(
+        alpha, asz, bm, v12[:, :3 * tp], shift)
+    assert sparse2 == dense
+    if tp > 1:
+        with pytest.raises(ValueError):
+            native.serialize_o1_sparse12_batch(
+                alpha, asz, bm, v12[:, :3 * (tp - 1)], shift)
+    # corrupt one value -> the row total stops being a power of two
+    bad = v12.copy()
+    bad[0, 0] ^= 0x3F
+    with pytest.raises(ValueError):
+        native.serialize_o1_sparse12_batch(alpha, asz, bm, bad, shift)
+
+
+def test_serialize_o1_sparse12_restores_4096():
+    """A deterministic context row (single freq 4096) survives the
+    12-bit wrap through the C consumer."""
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    A = 5
+    f = np.zeros((2, A, A), np.uint16)
+    f[0, 0, 2] = 4096
+    f[0, 1] = [1024, 1024, 1024, 512, 512]
+    f[0, 2] = [4095, 1, 0, 0, 0]
+    f[1, 3] = [2, 2, 0, 0, 0]
+    alpha = np.tile(np.arange(33, 33 + A, dtype=np.uint8), (2, 1))
+    asz = np.full(2, A, np.int32)
+    shift = np.full(2, 12, np.int32)
+    dense = native.serialize_o1_dense_batch(alpha, asz, f, shift)
+    bm, v12, cnts, mx = tables_v2.pack_freqs_sparse12(jnp.asarray(f))
+    sparse = native.serialize_o1_sparse12_batch(
+        alpha, asz, np.asarray(bm), np.asarray(v12), shift)
+    assert sparse == dense
