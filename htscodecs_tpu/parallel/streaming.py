@@ -32,6 +32,32 @@ from ..models import rans4x16
 from ..utils import varint
 
 
+def _enc_vmem_padded(jb, alpha_d, packed_d, shiftv, seg_cap):
+    """VMEM encode with the batch padded to the kernel's 128-block
+    tile granularity (copies of block 0; outputs sliced back).  The
+    rans_v2 entrypoints pad the same way — calling the kernel raw at
+    B % 128 != 0 produces an empty Pallas grid (chip-only failure:
+    the CPU path never routes here, caught by the round-5 TPU-backend
+    streaming suite)."""
+    import jax.numpy as jnp
+    from ..ops import rans_v2, rans_vmem
+
+    B = jb.shape[0]
+    pad = (-B) % 128
+    if pad:
+        def ext(a):
+            return jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+        jb, alpha_d, packed_d, shiftv = (
+            ext(jb), ext(alpha_d), ext(packed_d), ext(shiftv))
+    st_d, w_d, n_d, ovf, ms = rans_vmem._enc_vmem(
+        jb, alpha_d, packed_d, shiftv, jb.shape[1], 1, seg_cap,
+        prefetch=True)
+    if pad:
+        st_d, w_d, n_d = st_d[:B], w_d[:B], n_d[:B]
+    return st_d, w_d, n_d, ovf, ms
+
+
 class _Pending:
     __slots__ = ("blocks", "jb", "tables", "scan", "order", "assemble")
 
@@ -165,10 +191,10 @@ class StreamEncoder:
             hdr_src = None
         use_vmem = rans_v2._vmem_engine_ok()
         if use_vmem:
-            st_d, w_d, n_d, ovf, _ms = rans_vmem._enc_vmem(
+            st_d, w_d, n_d, ovf, _ms = _enc_vmem_padded(
                 jb, alpha_d, packed_d,
-                meta_d[:, 1].astype(jnp.int32), jb.shape[1], 1,
-                self.seg_cap or rans_v2.SEG_CAP, prefetch=True)
+                meta_d[:, 1].astype(jnp.int32),
+                self.seg_cap or rans_v2.SEG_CAP)
         else:
             st_d, w_d, n_d, ovf = rans_v2._enc_scan_v2_pb(
                 jb, alpha_d, packed_d, meta_d[:, 1], 1,
@@ -247,10 +273,9 @@ class StreamEncoder:
             import jax.numpy as jnp
             for cap in (rans_v2.SEG_CAP2, rans_v2.SEG):
                 if rans_v2._vmem_engine_ok():
-                    st_d, w_d, n_d, ovf, _ms = rans_vmem._enc_vmem(
+                    st_d, w_d, n_d, ovf, _ms = _enc_vmem_padded(
                         p.jb, alpha_d, packed_d,
-                        meta_d[:, 1].astype(jnp.int32), N, 1, cap,
-                        prefetch=True)
+                        meta_d[:, 1].astype(jnp.int32), cap)
                 else:
                     st_d, w_d, n_d, ovf = rans_v2._enc_scan_v2_pb(
                         p.jb, alpha_d, packed_d, meta_d[:, 1], 1,
